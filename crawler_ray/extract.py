@@ -1,0 +1,185 @@
+"""Pure, deterministic HTML parsing + text extraction.
+
+This is the engine's replacement for the reference's per-DPA
+BeautifulSoup loops (listing parse: ``pygdpr/models/dpa/austria/
+__init__.py:79-113``; text extraction: ``denmark/__init__.py:147-156``
+``soup.get_text()`` on a located container div). Per the build
+contract, extracted text must be **byte-identical per url** to the
+oracle ``text`` column of the pages table, so the extraction semantics
+are specified exactly here and implemented on the stdlib
+``html.parser`` — no bs4-version-dependent behavior.
+
+Extraction semantics (the "contract"):
+
+1. If the payload, after stripping leading whitespace, does not start
+   with ``<`` it is a non-HTML payload (e.g. ``%PDF``) → ``text = ""``
+   and ``kind = "binary"``. Empty payload → ``kind = "empty"``.
+2. The *content container* is the first element whose ``class``
+   attribute contains the token ``content``. Only its subtree
+   contributes text. No container → ``text = ""``, ``kind = "other"``.
+3. Block-level tags (``p div li ul ol h1..h6 table tr section article
+   br``) delimit lines. Entering or leaving a block flushes the
+   current line.
+4. Each line is whitespace-normalized: concatenated text nodes are
+   split on arbitrary whitespace and re-joined with single spaces
+   (exactly ``' '.join(s.split())``). Empty lines are dropped.
+5. ``text`` = lines joined with ``'\n'`` (no trailing newline).
+
+The same single parse pass also recovers page structure:
+
+- listing result rows: ``<li class="result">`` containing
+  ``<a class="doclink" href=...>{title}</a>`` and
+  ``<span class="date">{date_str}</span>``;
+- the forward/backward pagination link ``<a class="next" href=...>``
+  (reference frontier-growth loops: ``austria:27-53``,
+  ``italy/__init__.py:63-96`` backwards enumeration);
+- detail-page out-links ``<a class="outlink" href=...>``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+__all__ = ["ParsedPage", "parse_page", "extract_text"]
+
+_BLOCK_TAGS = {
+    "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "table", "tr", "section", "article", "br",
+}
+
+
+@dataclass
+class ParsedPage:
+    kind: str = "other"            # listing | detail | other | binary | empty
+    text: str = ""                 # byte-stable extracted text
+    results: list = field(default_factory=list)   # (title, date_str, href)
+    next_href: str | None = None
+    out_links: list = field(default_factory=list)
+
+
+class _Extractor(HTMLParser):
+    """Single-pass extractor implementing the contract above."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.depth = 0
+        self.container_depth: int | None = None   # depth at which content div opened
+        self.lines: list[str] = []
+        self._buf: list[str] = []
+        # structure
+        self.results: list[tuple[str, str, str]] = []
+        self.next_href: str | None = None
+        self.out_links: list[str] = []
+        # per-result state
+        self._in_result_depth: int | None = None
+        self._cur_title: list[str] | None = None
+        self._cur_date: list[str] | None = None
+        self._cur_href: str | None = None
+        self._capture: list[str] | None = None    # active title/date capture
+
+    # -- helpers ---------------------------------------------------------
+    def _in_container(self) -> bool:
+        return self.container_depth is not None
+
+    def _flush_line(self) -> None:
+        if self._buf:
+            line = " ".join("".join(self._buf).split())
+            if line:
+                self.lines.append(line)
+            self._buf = []
+
+    @staticmethod
+    def _classes(attrs) -> list[str]:
+        for k, v in attrs:
+            if k == "class" and v:
+                return v.split()
+        return []
+
+    @staticmethod
+    def _href(attrs) -> str | None:
+        for k, v in attrs:
+            if k == "href":
+                return v
+        return None
+
+    # -- HTMLParser hooks -------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        self.depth += 1
+        classes = self._classes(attrs)
+        if self.container_depth is None and "content" in classes:
+            self.container_depth = self.depth
+        in_c = self._in_container()
+        if in_c and tag in _BLOCK_TAGS:
+            self._flush_line()
+        if tag == "li" and "result" in classes:
+            self._in_result_depth = self.depth
+            self._cur_title, self._cur_date, self._cur_href = [], [], None
+        elif tag == "a":
+            href = self._href(attrs)
+            if "doclink" in classes and self._in_result_depth is not None:
+                self._cur_href = href
+                self._capture = self._cur_title
+            elif "next" in classes:
+                if href is not None and self.next_href is None:
+                    self.next_href = href
+            elif "outlink" in classes and href is not None:
+                self.out_links.append(href)
+        elif tag == "span" and "date" in classes and self._in_result_depth is not None:
+            self._capture = self._cur_date
+        if tag == "br":
+            # void element: HTMLParser reports no endtag for <br>
+            self.depth -= 1
+
+    def handle_startendtag(self, tag, attrs):
+        if self._in_container() and tag in _BLOCK_TAGS:
+            self._flush_line()
+
+    def handle_endtag(self, tag):
+        if self._in_container() and tag in _BLOCK_TAGS:
+            self._flush_line()
+        if tag in ("a", "span") and self._capture is not None:
+            self._capture = None
+        if tag == "li" and self._in_result_depth == self.depth:
+            title = " ".join("".join(self._cur_title or []).split())
+            date_str = " ".join("".join(self._cur_date or []).split())
+            if self._cur_href is not None and title:
+                self.results.append((title, date_str, self._cur_href))
+            self._in_result_depth = None
+        if self.container_depth == self.depth:
+            self._flush_line()
+            self.container_depth = None
+        self.depth -= 1
+
+    def handle_data(self, data):
+        if self._in_container():
+            self._buf.append(data)
+        if self._capture is not None:
+            self._capture.append(data)
+
+
+def parse_page(html: bytes | None) -> ParsedPage:
+    """Parse one page payload per the extraction contract."""
+    if html is None or len(html) == 0:
+        return ParsedPage(kind="empty")
+    head = html.lstrip()[:1]
+    if head != b"<":
+        return ParsedPage(kind="binary")
+    p = _Extractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p._flush_line()
+    kind = "listing" if (p.results or p.next_href) else (
+        "detail" if p.lines else "other"
+    )
+    return ParsedPage(
+        kind=kind,
+        text="\n".join(p.lines),
+        results=p.results,
+        next_href=p.next_href,
+        out_links=p.out_links,
+    )
+
+
+def extract_text(html: bytes | None) -> str:
+    """Text-only convenience wrapper (the byte-identical invariant)."""
+    return parse_page(html).text
