@@ -75,6 +75,12 @@ class WebConfig:
     dup_title_rate: float = 0.01
     private_rate: float = 0.05      # details under a robots-disallowed prefix
     cross_host_link_rate: float = 0.20
+    chain_max: int = 30             # max pagination-chain length; hosts with
+                                    # more listing pages get an archive-index
+                                    # page linking to chain heads (EDPB-style
+                                    # archive; keeps crawl depth O(chain_max)
+                                    # instead of O(n_pages/host) — a 3,500-page
+                                    # chain would serialize the whole crawl)
 
 
 @dataclass
@@ -220,14 +226,30 @@ class SyntheticWeb:
                     # pagination/__init__.py:6-9)
                     dprev = h.details[(k - 1) * rpl]
                     rows.append((dprev.title, dprev.date_str, dprev.url))
-                self_idx = k
+                # pagination chains run within a chain_max-sized group;
+                # forward hosts chain head→tail, backwards hosts tail→head
+                # (italy/__init__.py:63-96)
+                cm = cfg.chain_max
+                g0, g1 = (k // cm) * cm, min((k // cm) * cm + cm, n_list)
                 if h.backwards:
-                    nxt = f"/list/{self_idx - 1}" if self_idx > 0 else None
+                    nxt = f"/list/{k - 1}" if k > g0 else None
                 else:
-                    nxt = f"/list/{self_idx + 1}" if self_idx < n_list - 1 else None
+                    nxt = f"/list/{k + 1}" if k < g1 - 1 else None
                 h.listings.append(Listing(url, k, rows, nxt))
-            h.seed_url = (f"https://{h.name}/list/{n_list - 1}" if h.backwards
-                          else f"https://{h.name}/list/0")
+            n_groups = -(-n_list // cfg.chain_max)
+            if n_groups > 1:
+                # archive-index page listing each group's entry page
+                rows = []
+                for g in range(n_groups):
+                    g0, g1 = g * cfg.chain_max, min((g + 1) * cfg.chain_max, n_list)
+                    head = g1 - 1 if h.backwards else g0
+                    rows.append((f"Archive section {g}", "", f"/list/{head}"))
+                idx_url = f"https://{h.name}/list/index"
+                h.listings.append(Listing(idx_url, n_list, rows, None))
+                h.seed_url = idx_url
+            else:
+                h.seed_url = (f"https://{h.name}/list/{n_list - 1}" if h.backwards
+                              else f"https://{h.name}/list/0")
 
     # -- rendering (must agree with crawler_ray.extract contract) ---------
     @staticmethod
@@ -321,10 +343,10 @@ class SyntheticWeb:
 
 
 def generate(scale: str = "t1", seed: int = 42, **overrides) -> SyntheticWeb:
-    cfg = WebConfig(seed=seed, n_pages=SCALES[scale],
-                    n_hosts={"t1": 16, "t2": 64, "bench": 256}[scale],
-                    **overrides)
-    return SyntheticWeb(cfg)
+    kw = {"n_pages": SCALES[scale],
+          "n_hosts": {"t1": 16, "t2": 64, "bench": 256}[scale]}
+    kw.update(overrides)
+    return SyntheticWeb(WebConfig(seed=seed, **kw))
 
 
 def write_fixture(out_dir: str, scale: str = "t1", seed: int = 42,

@@ -19,10 +19,16 @@ Crawl semantics contract
    *scheduled* (pushed to the frontier), so no URL is fetched twice.
 2. **Robots**: a URL whose path starts with any of its host's
    ``disallow_prefixes`` is never scheduled (counted in metrics).
-3. **Politeness**: crawling proceeds in rounds; round = a simulated
-   time window of ``round_ms``. Per round a host may be fetched at
-   most ``budget = round_ms // crawl_delay_ms`` times
-   (``politeness_cap`` when the delay is 0).
+3. **Politeness**: crawling proceeds in *waves* (global barriers)
+   inside simulated time *windows* of ``round_ms``. Per window a
+   host may be fetched at most ``budget = round_ms //
+   crawl_delay_ms`` times (``politeness_cap`` when the delay is 0);
+   the budget is consumed across the window's waves. When every
+   host with frontier entries has exhausted its budget, the window
+   advances and budgets reset. (Waves, not whole-window rounds, so
+   that pagination chains — which reveal one next-page per fetch —
+   can be walked several links per window; the reference walks them
+   in an inner ``while has_next`` loop, ``austria:72-152``.)
 4. **Priority**: within a host, frontier entries pop in ascending
    ``(depth, parent_order, dom_idx)`` order — depth-first discovery
    ranking equivalent to the reference's sequential page→result order
@@ -30,13 +36,13 @@ Crawl semantics contract
    discovered the URL (−1 for seeds, where ``dom_idx = seed_rank``);
    ``dom_idx`` is the link's index within the discovering page
    (listing rows first, then the next-page link, then out-links).
-5. **Pop ranks**: after the round's pops are determined, the popped
+5. **Pop ranks**: after a wave's pops are determined, the popped
    set is sorted by ``(host, depth, parent_order, dom_idx)`` and
    assigned consecutive global ranks — this is the logical crawl
    order that the engine must reproduce (it does not depend on
    physical execution order).
 6. **Duplicate discovery**: a URL discovered multiple times in one
-   round keeps the smallest ``(depth, parent_order, dom_idx)`` key.
+   wave keeps the smallest ``(depth, parent_order, dom_idx)`` key.
 7. **Listing rows** whose date parses *outside* the GDPR retain
    window are not scheduled (reference skips the fetch, M5);
    unparseable/empty dates are scheduled (NoDate semantics).
@@ -58,7 +64,7 @@ import pyarrow as pa
 from crawler_ray.extract import parse_page
 from crawler_ray.functions.dates import PINNED_NOW, parse_date_multi, GDPR_DATE
 from crawler_ray.functions.hashing import md5_hex
-from crawler_ray.urlnorm import canonicalize, host_of, join_url
+from crawler_ray.urlnorm import canonicalize, host_of, join_url, path_of
 
 __all__ = ["CrawlParams", "OracleResult", "crawl_oracle"]
 
@@ -80,8 +86,9 @@ class OracleResult:
 
     def crawl_log_table(self) -> pa.Table:
         return pa.table({k: [r[k] for r in self.crawl_log]
-                         for k in ("pop_rank", "round", "url", "host", "depth",
-                                   "parent_order", "dom_idx", "status", "kind")})
+                         for k in ("pop_rank", "wave", "window", "url", "host",
+                                   "depth", "parent_order", "dom_idx", "status",
+                                   "kind")})
 
 
 def _date_in_window(date_str: str, now) -> bool | None:
@@ -106,9 +113,8 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
         robots["crawl_delay_ms"].to_pylist())}
 
     def allowed(url: str) -> bool:
-        host = host_of(url)
-        prefixes = robots_by_host.get(host, ([], 0))[0]
-        path = url.split(host, 1)[1] if host in url else url
+        prefixes = robots_by_host.get(host_of(url), ([], 0))[0]
+        path = path_of(url)
         return not any(path.startswith(p) for p in prefixes)
 
     def budget(host: str) -> int:
@@ -143,14 +149,23 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
     crawl_log: list[dict] = []
     docs_by_key: dict[tuple, dict] = {}
     pop_rank = 0
-    rnd = 0
+    wave = 0
+    window = 0
+    budgets: dict[str, int] = {}     # host -> remaining budget this window
     while any(frontiers.values()):
         popped: list[tuple] = []     # (host, depth, parent, dom, url)
         for host in sorted(frontiers):
             heap = frontiers[host]
-            for _ in range(min(budget(host), len(heap))):
+            rem = budgets.setdefault(host, budget(host))
+            take = min(rem, len(heap))
+            budgets[host] = rem - take
+            for _ in range(take):
                 depth, parent, dom, url = heapq.heappop(heap)
                 popped.append((host, depth, parent, dom, url))
+        if not popped:               # every pending host exhausted → next window
+            window += 1
+            budgets = {}
+            continue
         popped.sort()                # (host, depth, parent_order, dom_idx) — rule 5
         discoveries: list[tuple] = []
         for host, depth, parent, dom, url in popped:
@@ -158,15 +173,17 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
             pop_rank += 1
             idx = page_by_url.get(url)
             if idx is None:
-                crawl_log.append(dict(pop_rank=my_rank, round=rnd, url=url,
-                                      host=host, depth=depth, parent_order=parent,
-                                      dom_idx=dom, status=404, kind="missing"))
+                crawl_log.append(dict(pop_rank=my_rank, wave=wave, window=window,
+                                      url=url, host=host, depth=depth,
+                                      parent_order=parent, dom_idx=dom,
+                                      status=404, kind="missing"))
                 metrics["missing"] += 1
                 continue
             page = parse_page(htmls[idx])
             metrics["fetched"] += 1
-            crawl_log.append(dict(pop_rank=my_rank, round=rnd, url=url, host=host,
-                                  depth=depth, parent_order=parent, dom_idx=dom,
+            crawl_log.append(dict(pop_rank=my_rank, wave=wave, window=window,
+                                  url=url, host=host, depth=depth,
+                                  parent_order=parent, dom_idx=dom,
                                   status=200, kind=page.kind))
             di = 0
             for title, date_str, href in page.results:
@@ -216,7 +233,7 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
                 continue
             last = cu
             schedule(cu, depth, parent, dom)
-        rnd += 1
+        wave += 1
 
     docs = sorted(docs_by_key.values(), key=lambda d: d["pop_rank"])
     return OracleResult(seen=seen, crawl_log=crawl_log, docs=docs,

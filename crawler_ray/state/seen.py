@@ -1,0 +1,168 @@
+"""Sharded URL-seen membership actors (bloom + exact confirm).
+
+Replaces the reference's O(n)-scan Python list seen-set
+(``gdprCrawler.py:111-118``) and per-run ``dict_hashcode``
+(``denmark/__init__.py:87,135-140``). Candidates are routed to shard
+``url_hash % n_shards``; each shard fronts an exact ``set`` of uint64
+hashes with a :class:`~crawler_ray.state.bloom.BloomFilter` so the
+common definitely-new case costs a few vectorized bit probes.
+
+Protocol per wave (matches oracle contract rules 1/2/6):
+
+1. parse tasks ``offer()`` candidate sub-tables (url, url_hash, host,
+   depth, parent_order, dom_idx) as they finish — no ordering
+   assumptions;
+2. the driver barriers on the wave, then calls ``commit_wave()`` on
+   every shard: the shard dedups same-wave duplicates keeping the
+   smallest ``(depth, parent_order, dom_idx)`` key, drops
+   robots-disallowed urls, probes bloom→exact, admits the rest, and
+   returns the newly-seen entries (for the frontier push).
+
+Scale: at the 10^10-URL design point, shard count is a parameter
+(4096 shards → ~2.4M keys ≈ 40 MB exact + 3.6 MB bloom per shard);
+the snapshot is one uint64 Parquet per shard per epoch, restored on
+resume. Within this sandbox the same code runs with 4-8 shards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from crawler_ray.state.bloom import BloomFilter
+
+__all__ = ["SeenShard", "make_seen_shards", "robots_allowed_mask"]
+
+CANDIDATE_COLS = ("url", "url_hash", "host", "depth", "parent_order", "dom_idx")
+
+
+def robots_allowed_mask(urls: list, hosts: list, robots: dict) -> np.ndarray:
+    """Vector mask of robots-allowed urls. ``robots`` maps host →
+    list of disallowed path prefixes (empty → fully open)."""
+    from crawler_ray.urlnorm import path_of
+    out = np.ones(len(urls), dtype=bool)
+    for i, (u, h) in enumerate(zip(urls, hosts)):
+        prefixes = robots.get(h)
+        if not prefixes:
+            continue
+        path = path_of(u)
+        if any(path.startswith(p) for p in prefixes):
+            out[i] = False
+    return out
+
+
+@ray.remote
+class SeenShard:
+    """One shard of the URL-seen set. See module docstring."""
+
+    def __init__(self, shard_id: int, capacity: int, robots: dict):
+        self.shard_id = shard_id
+        self.bloom = BloomFilter(capacity)
+        self.exact: set[int] = set()
+        self.robots = robots                     # host -> [disallow prefixes]
+        self._pending: list[pa.Table] = []
+        self.frontier_shards: list | None = None
+        self.metrics = {"robots_excluded": 0, "dup_discovery": 0, "admitted": 0,
+                        "bloom_false_positives": 0}
+
+    def set_frontier(self, frontier_shards: list) -> None:
+        """Wire the frontier pool so admitted entries are pushed
+        actor→actor (no driver round trip per wave)."""
+        self.frontier_shards = frontier_shards
+
+    def offer(self, table) -> int:
+        import pickle
+        if isinstance(table, (bytes, bytearray)):
+            table = pickle.loads(table)
+        self._pending.append(table)
+        return table.num_rows
+
+    def commit_wave(self) -> int:
+        """Dedup → robots → membership probe → admit → push admitted
+        to the frontier shards. Returns the admitted count."""
+        t = self._commit()
+        if t is None:
+            return 0
+        if not self.frontier_shards:
+            return t.num_rows
+        from crawler_ray.sources.pages import pack
+        from crawler_ray.state.frontier import frontier_shard_of
+        shard = frontier_shard_of(t["host"].to_pylist(),
+                                  len(self.frontier_shards))
+        refs = []
+        for i in range(len(self.frontier_shards)):
+            mask = shard == i
+            if mask.any():
+                refs.append(self.frontier_shards[i].push.remote(
+                    pack(t.filter(pa.array(mask)))))
+        ray.get(refs)
+        return t.num_rows
+
+    def _commit(self) -> pa.Table | None:
+        if not self._pending:
+            return None
+        t = pa.concat_tables(self._pending)
+        self._pending = []
+        # rule 6: keep the smallest (depth, parent_order, dom_idx) per url_hash
+        order = pc.sort_indices(t, sort_keys=[("url_hash", "ascending"),
+                                              ("depth", "ascending"),
+                                              ("parent_order", "ascending"),
+                                              ("dom_idx", "ascending")])
+        t = t.take(order)
+        hashes = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        first = np.ones(len(hashes), dtype=bool)
+        first[1:] = hashes[1:] != hashes[:-1]
+        self.metrics["dup_discovery"] += int((~first).sum())
+        t = t.filter(pa.array(first))
+        hashes = hashes[first]
+        # robots (oracle rule 2; checked after same-wave dedup, before seen)
+        allowed = robots_allowed_mask(t["url"].to_pylist(),
+                                      t["host"].to_pylist(), self.robots)
+        # membership: bloom prefilter, exact confirm
+        maybe = self.bloom.might_contain(hashes)
+        known = np.zeros(len(hashes), dtype=bool)
+        for i in np.flatnonzero(maybe):
+            known[i] = int(hashes[i]) in self.exact
+        self.metrics["bloom_false_positives"] += int(maybe.sum() - known.sum())
+        self.metrics["dup_discovery"] += int((known & allowed).sum())
+        self.metrics["robots_excluded"] += int((~allowed & ~known).sum())
+        new = allowed & ~known
+        if not new.any():
+            return None
+        admit = hashes[new]
+        self.bloom.add(admit)
+        self.exact.update(int(x) for x in admit)
+        self.metrics["admitted"] += int(new.sum())
+        return t.filter(pa.array(new))
+
+    # -- checkpoint -------------------------------------------------------
+    def snapshot(self, path: str) -> int:
+        pq.write_table(
+            pa.table({"url_hash": pa.array(
+                np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)),
+                pa.uint64())}), path)
+        return len(self.exact)
+
+    def restore(self, path: str) -> int:
+        hashes = pq.read_table(path)["url_hash"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        self.exact = set(int(x) for x in hashes)
+        self.bloom = BloomFilter(max(self.bloom.capacity, len(hashes)))
+        self.bloom.add(hashes)
+        self._pending = []
+        return len(self.exact)
+
+    def stats(self) -> dict:
+        return {"shard": self.shard_id, "size": len(self.exact), **self.metrics}
+
+
+def make_seen_shards(n_shards: int, capacity_per_shard: int, robots: dict,
+                     name_prefix: str = "") -> list:
+    return [SeenShard.options(
+                name=f"{name_prefix}seen:{i}" if name_prefix else None,
+                max_concurrency=1)
+            .remote(i, capacity_per_shard, robots)
+            for i in range(n_shards)]

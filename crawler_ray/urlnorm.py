@@ -75,6 +75,11 @@ def host_of(url: str) -> str:
     return urlsplit(url).netloc.lower()
 
 
+def path_of(url: str) -> str:
+    """Path component (robots prefix rules match on this)."""
+    return urlsplit(url).path or "/"
+
+
 def join_url(base: str, href: str) -> str:
     """Resolve a (possibly relative) href against the page URL —
     the explicit version of the reference's ad-hoc ``host + href``
