@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Headline benchmark for the crawler_ray engine.
+
+Default mode (one JSON line on stdout):
+  - crawl throughput over the 200k-page synthetic web fixture
+    (frontier + seen + politeness + fetch-join + parse, the full
+    engine) at ``RAY_GRAFT_CPUS`` CPUs (default 32);
+  - the query suite over ``$GRAFT_SF_DIR`` (default
+    /root/testdata/sf0.1) — one wall-clock per query.
+
+``--scaling``: runs the crawl at 8 and 32 CPUs in FRESH processes
+(sandbox stand-in for N vs 4N nodes, per the build contract) over the
+1.5M-page "scale" fixture and reports both throughputs + efficiency
+``(urls/s @32) / (urls/s @8) / 4``. Each process does a small warm-up
+crawl first so steady-state throughput is measured, not Ray worker
+spawn. Results land in BASELINE.md.
+
+``--crawl-only --cpus N --tier scale``: single timed crawl (used by
+--scaling's subprocesses).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROOT = "/tmp/crawler_ray_bench"
+N_SHARDS = 8
+
+CRAWL_TIERS = {
+    # tier -> (politeness round_ms, cap): permissive budgets so the
+    # bench measures engine throughput, not the (logical) politeness
+    # wait; correctness tests use binding budgets instead.
+    "bench": dict(round_ms=3_600_000, politeness_cap=100_000),
+    "scale": dict(round_ms=36_000_000, politeness_cap=1_000_000),
+    "t1": dict(round_ms=60_000, politeness_cap=10_000),
+}
+
+
+def _ensure_fixture(tier: str) -> str:
+    from crawler_ray.fixtures import write_fixture
+    from crawler_ray.sources.pages import prepare_sharded_pages
+    fix = os.path.join(BENCH_ROOT, tier)
+    write_fixture(fix, tier)
+    prepare_sharded_pages(os.path.join(fix, "pages.parquet"),
+                          os.path.join(fix, f"sharded_{N_SHARDS}"), N_SHARDS)
+    return fix
+
+
+def _crawl(tier: str, out_tag: str) -> dict:
+    from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    fix = _ensure_fixture(tier)
+    out = os.path.join(BENCH_ROOT, f"out_{out_tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(n_frontier_shards=N_SHARDS, n_seen_shards=N_SHARDS,
+                      n_page_shards=N_SHARDS, **CRAWL_TIERS[tier])
+    t0 = time.time()
+    s = run_crawl(os.path.join(fix, f"sharded_{N_SHARDS}"),
+                  os.path.join(fix, "seeds.parquet"),
+                  os.path.join(fix, "robots.parquet"), out, cfg)
+    wall = time.time() - t0
+    return {"tier": tier, "sec": round(wall, 2),
+            "urls_fetched": s["urls_fetched"],
+            "urls_per_sec": round(s["urls_fetched"] / wall, 1),
+            "waves": s["waves"], "windows": s["windows"]}
+
+
+def _warmup() -> None:
+    """Tiny crawl to spawn Ray workers + import the library in them —
+    the timed run then measures steady-state engine throughput."""
+    _crawl("t1", "warmup")
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as E
+    wanted = [
+        "q1_pricing_summary", "revenue_by_nation", "top_parts_by_revenue",
+        "events_hourly", "sessionize", "stopwords_by_source",
+        "doc_stats", "doc_quality", "doc_tokens", "doc_langid",
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+        "knn_cosine", "knn_lsh", "media_features", "crawl_reachable",
+    ]
+    qs = E.queries()
+    out = {}
+    for name in wanted:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume to a driver-side table (results are small aggregates
+        # or per-doc rows at bench scale)
+        import pyarrow as pa
+        import ray as _ray
+        if isinstance(res, _ray.data.Dataset):
+            res.to_pandas()
+        elif isinstance(res, pa.Table):
+            pass
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--tier", default="bench")
+    args = ap.parse_args()
+
+    if args.scaling:
+        # fresh process per parallelism level (the contract's N vs 4N
+        # cluster stand-in); generate the fixture once up front
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        results = {}
+        for cpus in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-only",
+                 "--cpus", str(cpus), "--tier", "scale"],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            if p.returncode != 0:
+                print(p.stdout, p.stderr[-4000:], file=sys.stderr)
+                sys.exit(1)
+            results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+        r8, r32 = results[8]["crawl"], results[32]["crawl"]
+        eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0
+        print(json.dumps({
+            "metric": "crawl scaling efficiency (8 -> 32 CPUs, fresh "
+                      "processes, 1.5M-page fixture)",
+            "value": round(eff, 3), "unit": "efficiency",
+            "urls_per_sec_8": r8["urls_per_sec"],
+            "urls_per_sec_32": r32["urls_per_sec"],
+            "sec_8": r8["sec"], "sec_32": r32["sec"],
+            "urls_fetched": r8["urls_fetched"],
+        }))
+        return
+
+    cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 logging_level="ERROR")
+
+    if args.crawl_only:
+        _ensure_fixture(args.tier)
+        _warmup()
+        crawl = _crawl(args.tier, f"crawl_{cpus}")
+        print(json.dumps({"num_cpus": cpus, "crawl": crawl}))
+        ray.shutdown()
+        return
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    t_total = time.time()
+    _ensure_fixture("bench")
+    _warmup()
+    crawl = _crawl("bench", f"crawl_{cpus}")
+    queries = run_queries(sf_dir)
+    total = time.time() - t_total
+    queries["crawl_bench_200k"] = crawl["sec"]
+    print(json.dumps({
+        "metric": "crawl 200k pages (full engine) + query suite wall time",
+        "value": round(total, 2), "unit": "sec",
+        "queries": queries, "sf": sf, "num_cpus": cpus,
+        "crawl_urls_per_sec": crawl["urls_per_sec"],
+        "crawl": crawl,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

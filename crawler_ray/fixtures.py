@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 
 __all__ = ["WebConfig", "SyntheticWeb", "generate", "write_fixture", "SCALES"]
 
-SCALES = {"t1": 2_000, "t2": 20_000, "bench": 200_000}
+SCALES = {"t1": 2_000, "t2": 20_000, "bench": 200_000, "scale": 1_500_000}
 
 _LANGS = ["de", "da", "en", "fr", "bg", "hr", "el", "cz", "et", "fi", "hu",
           "it", "lv", "nl", "pl", "pt", "ro", "sk", "sl", "es", "se"]
@@ -344,7 +344,13 @@ class SyntheticWeb:
 
 def generate(scale: str = "t1", seed: int = 42, **overrides) -> SyntheticWeb:
     kw = {"n_pages": SCALES[scale],
-          "n_hosts": {"t1": 16, "t2": 64, "bench": 256}[scale]}
+          "n_hosts": {"t1": 16, "t2": 64, "bench": 256, "scale": 1024}[scale]}
+    if scale == "scale":
+        # throughput-bench shape: wide listings / shallow chains so
+        # waves are dominated by parallel parse work, not by the
+        # inherently serial next-page discovery latency (deep chains
+        # bound ANY crawler's scaling — breadth is what scales)
+        kw.update({"results_per_listing": 40, "chain_max": 8})
     kw.update(overrides)
     return SyntheticWeb(WebConfig(seed=seed, **kw))
 

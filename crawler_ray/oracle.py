@@ -52,6 +52,17 @@ Crawl semantics contract
    (``denmark:135-140`` collision rule), and date-window filtered.
    Binary/empty payloads yield no doc (extraction stub; metrics
    count them).
+9. **Pipelined visibility**: URLs discovered (and admitted to the
+   seen set) in wave ``w`` become *poppable* at wave ``w + P``
+   (``P = pipeline_depth``). A wave whose pops are empty while
+   not-yet-visible entries exist is a **bubble**: the wave counter
+   advances, nothing is logged, window budgets are untouched. The
+   window advances only when no staged entries remain and every
+   active host is budget-exhausted. This makes wave composition a
+   pure function of the data, so the Ray engine may keep several
+   fetch+parse waves physically in flight and still match this
+   oracle bit-for-bit. (Seen-set admission — and therefore dup
+   counting — happens at discovery commit, not at visibility.)
 """
 
 from __future__ import annotations
@@ -74,6 +85,8 @@ class CrawlParams:
     round_ms: int = 60_000
     politeness_cap: int = 10_000
     max_depth: int | None = None
+    pipeline_depth: int = 3        # wave visibility lag P (rule 9); must
+                                   # match CrawlConfig.pipeline_depth
     now = PINNED_NOW
 
 
@@ -129,7 +142,10 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
                "fetched": 0, "missing": 0, "docs_emitted": 0,
                "docs_deduped": 0, "nonhtml": 0}
 
-    def schedule(url: str, depth: int, parent_order: int, dom_idx: int) -> None:
+    staged: dict[int, list] = {}     # visible_wave -> [(depth, parent, dom, url)]
+
+    def schedule(url: str, depth: int, parent_order: int, dom_idx: int,
+                 visible_from: int) -> None:
         cu = canonicalize(url)
         if cu in seen:
             metrics["dup_discovery"] += 1
@@ -140,11 +156,17 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
         if params.max_depth is not None and depth > params.max_depth:
             return
         seen.add(cu)
-        heapq.heappush(frontiers.setdefault(host_of(cu), []),
-                       (depth, parent_order, dom_idx, cu))
+        staged.setdefault(visible_from, []).append(
+            (depth, parent_order, dom_idx, cu))
+
+    def activate(wave: int) -> None:
+        for v in [v for v in staged if v <= wave]:
+            for depth, parent, dom, cu in staged.pop(v):
+                heapq.heappush(frontiers.setdefault(host_of(cu), []),
+                               (depth, parent, dom, cu))
 
     for rank, url in zip(seeds["seed_rank"].to_pylist(), seeds["url"].to_pylist()):
-        schedule(url, 0, -1, int(rank))
+        schedule(url, 0, -1, int(rank), 0)
 
     crawl_log: list[dict] = []
     docs_by_key: dict[tuple, dict] = {}
@@ -152,7 +174,9 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
     wave = 0
     window = 0
     budgets: dict[str, int] = {}     # host -> remaining budget this window
-    while any(frontiers.values()):
+    last_nonempty = -1
+    while any(frontiers.values()) or staged:
+        activate(wave)               # rule 9: entries visible at this wave
         popped: list[tuple] = []     # (host, depth, parent, dom, url)
         for host in sorted(frontiers):
             heap = frontiers[host]
@@ -162,10 +186,16 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
             for _ in range(take):
                 depth, parent, dom, url = heapq.heappop(heap)
                 popped.append((host, depth, parent, dom, url))
-        if not popped:               # every pending host exhausted → next window
-            window += 1
+        if not popped:
+            # rule 9 bubble: any wave in (wave-P, wave) popped rows —
+            # its discoveries may not be visible yet
+            if last_nonempty > wave - params.pipeline_depth:
+                wave += 1
+                continue
+            window += 1              # every pending host exhausted → next window
             budgets = {}
             continue
+        last_nonempty = wave
         popped.sort()                # (host, depth, parent_order, dom_idx) — rule 5
         discoveries: list[tuple] = []
         for host, depth, parent, dom, url in popped:
@@ -232,7 +262,7 @@ def crawl_oracle(pages: pa.Table, seeds: pa.Table, robots: pa.Table,
                 metrics["dup_discovery"] += 1
                 continue
             last = cu
-            schedule(cu, depth, parent, dom)
+            schedule(cu, depth, parent, dom, wave + params.pipeline_depth)
         wave += 1
 
     docs = sorted(docs_by_key.values(), key=lambda d: d["pop_rank"])

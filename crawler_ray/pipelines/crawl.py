@@ -4,17 +4,20 @@ Equivalent of the reference's whole ``scrape`` lifecycle
 (``gdprCrawler.py:47-301`` + every per-DPA ``get_docs_*`` loop), as
 rounds ("waves") over sharded actors:
 
-    seeds → seen-admit → frontier.push
-    while frontier not empty:
-        popped  = frontier.pop_wave()            (priority + politeness)
+    seeds → seen-admit → frontier.push (visible_from = 0)
+    while frontier not empty (pipelined, ≤ P−1 waves in flight):
+        popped  = frontier.pop_wave(w)           (activation + priority
+                 + politeness; entries poppable once visible_from ≤ w)
         ranked  = sort (host, depth, parent, dom) → pop_rank
-        fetch+parse on the page-store actor pool  (hash-join J5 +
-                 ParseStage, data-local; 404 = missing page;
-                 parsed part → Parquet out_dir/parsed/wave=W/;
-                 link candidates fan out to the seen shards)
-        commit_wave on seen shards (dedup+robots+admit) → admitted
+        fetch on the page-store shards (hash-join J5, 404 = missing);
+        parse as stateless load-balanced tasks (ParseStage; parsed
+                 parts → Parquet out_dir/parsed/wave=W/; candidates
+                 fan out wave-tagged to the seen shards, acked)
+        commit_wave(w) on seen shards (dedup+robots+admit) → admitted
                  entries pushed actor→actor to the frontier shards
-        every k waves: atomic checkpoint epoch (frontier+seen+meta)
+                 with visible_from = w + P (rule 9 — data-driven
+                 visibility keeps pipelining bit-deterministic)
+        every k waves: drain + atomic checkpoint epoch
 
 Execution note (why this loop is not one big ``Dataset`` pipeline):
 the frontier is *iterative* — wave N+1's input depends on wave N's
@@ -58,7 +61,7 @@ import pyarrow.parquet as pq
 import ray
 
 from crawler_ray.functions.dates import PINNED_NOW
-from crawler_ray.sources.pages import build_page_stores, pack
+from crawler_ray.sources.pages import build_page_stores, pack, unpack
 from crawler_ray.state.frontier import make_frontier_shards
 from crawler_ray.state.seen import make_seen_shards
 from crawler_ray.urlnorm import canonicalize, hash64_many, host_of
@@ -80,7 +83,37 @@ class CrawlConfig:
     seen_capacity_per_shard: int = 1_000_000
     checkpoint_every: int = 0          # waves between epochs; 0 = final only
     max_depth: int | None = None
+    pipeline_depth: int = 3            # wave visibility lag P: discoveries of
+                                       # wave w become poppable at w+P; the
+                                       # driver keeps up to P-1 fetch+parse
+                                       # waves in flight (data-driven
+                                       # visibility keeps this deterministic)
+    parse_batch: int = 512             # rows per stateless parse task — the
+                                       # work-unit Ray load-balances across
+                                       # the cluster (bounds stragglers)
     now = PINNED_NOW
+
+
+@ray.remote
+def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
+                now, max_depth) -> bytes:
+    """Stateless parse work-unit: slice of a fetch-shard's rows →
+    ParseStage → parquet part; returns the packed link-candidate
+    table (the driver routes candidates to the seen shards at
+    retirement, keeping actor RPC waits off the parse critical path).
+
+    Stateless tasks (vs parsing inside the page-store actor) let Ray
+    schedule parse work across every CPU regardless of which shard
+    owns the pages — per-wave stragglers are bounded by ``parse_batch``
+    instead of the biggest shard slice."""
+    from crawler_ray.stages.parse import ParseStage
+
+    parsed = ParseStage(now)(fetched.slice(start, stop - start))
+    pq.write_table(parsed, part_path)
+    cands = _explode_links(parsed)
+    if max_depth is not None:
+        cands = cands.filter(pc.less_equal(cands["depth"], max_depth))
+    return pack(cands)
 
 
 # --------------------------------------------------------------------------
@@ -116,7 +149,7 @@ def _explode_links(parsed: pa.Table) -> pa.Table:
 
 
 def _offer_candidates(cands: pa.Table, seen_shards: list,
-                      max_depth: int | None) -> None:
+                      max_depth: int | None, wave: int = 0) -> None:
     """Route candidates to seen shards by url_hash and block on acks
     (driver-side path, used for seed scheduling; wave-time fan-out
     happens inside PageStore.fetch_parse)."""
@@ -131,7 +164,7 @@ def _offer_candidates(cands: pa.Table, seen_shards: list,
         mask = shard == s
         if mask.any():
             acks.append(seen_shards[s].offer.remote(
-                pack(cands.filter(pa.array(mask)))))
+                pack(cands.filter(pa.array(mask))), wave))
     ray.get(acks)
 
 
@@ -201,12 +234,6 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                                    cfg.seen_capacity_per_shard, robots)
     ray.get([s.set_frontier.remote(frontier_shards) for s in seen_shards])
     page_stores = build_page_stores(pages_path, cfg.n_page_shards)
-    ray.get([p.set_sinks.remote(seen_shards) for p in page_stores])
-
-    def push_admitted() -> int:
-        """commit_wave on every seen shard (each pushes its admitted
-        entries to the frontier shards actor-to-actor)."""
-        return sum(ray.get([s.commit_wave.remote() for s in seen_shards]))
 
     wave = window = 0
     pop_rank = 0
@@ -221,7 +248,9 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                 [s.restore.remote(os.path.join(epoch, f"seen_{i:04d}.parquet"))
                  for i, s in enumerate(seen_shards)])
         for d in os.listdir(parsed_root):          # drop post-epoch partial waves
-            if d.startswith("wave=") and int(d.split("=")[1]) >= wave:
+            if d.endswith(".tmp"):
+                shutil.rmtree(os.path.join(parsed_root, d))
+            elif d.startswith("wave=") and int(d.split("=")[1]) >= wave:
                 shutil.rmtree(os.path.join(parsed_root, d))
     else:
         seeds_t = pq.read_table(seeds_path)
@@ -234,19 +263,81 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             "parent_order": pa.array([-1] * len(urls), pa.int64()),
             "dom_idx": seeds_t["seed_rank"].cast(pa.int32()),
         })
-        _offer_candidates(cand, seen_shards, cfg.max_depth)
-        push_admitted()
+        _offer_candidates(cand, seen_shards, cfg.max_depth, wave=-1)
+        # seeds: committed as pseudo-wave −1, visible from wave 0
+        ray.get([s.commit_wave.remote(-1, 0) for s in seen_shards])
+
+    # ---- pipelined wave loop --------------------------------------------
+    # In flight at any time: up to (pipeline_depth − 1) fetch+parse
+    # waves plus their async commits. Visibility is data-driven
+    # (visible_from = wave + P on every admitted entry), so overlap
+    # never changes wave composition; the sequential oracle implements
+    # the identical rules.
+    from collections import deque
+
+    P = max(1, cfg.pipeline_depth)
+    inflight: deque = deque()          # (wave_id, fp refs, tmp, final dir)
+    commits: dict[int, list] = {}      # wave_id -> commit_wave refs
+
+    def retire_one() -> None:
+        j, refs, tmp_wave, wave_dir = inflight.popleft()
+        cand_blobs = ray.get(refs)                 # parse parts + candidates
+        os.rename(tmp_wave, wave_dir)
+        cands = [unpack(b) for b in cand_blobs]
+        cands = [c for c in cands if c.num_rows]
+        if cands:
+            # driver-routed offers: FIFO per (driver → seen shard) pair
+            # guarantees these precede the commit_wave(j) below
+            cand = cands[0] if len(cands) == 1 else pa.concat_tables(cands)
+            hashes = cand["url_hash"].to_numpy(zero_copy_only=False)
+            shard = (hashes % np.uint64(len(seen_shards))).astype(np.int64)
+            for s in range(len(seen_shards)):
+                mask = shard == s
+                if mask.any():
+                    seen_shards[s].offer.remote(
+                        pack(cand.filter(pa.array(mask))), j)
+        commits[j] = [s.commit_wave.remote(j, j + P) for s in seen_shards]
+
+    def drain() -> None:
+        while inflight:
+            retire_one()
+        for j in sorted(commits):
+            ray.get(commits.pop(j))
 
     waves_done = 0
+    last_nonempty = wave - 1       # resume: checkpoint drains, so any
+                                   # staged entries came from waves < wave
     while True:
+        # dispatch commits for waves old enough (≥1 iteration of slack
+        # before their visibility deadline at pop(j+P))
+        while inflight and inflight[0][0] <= wave - min(P, 2):
+            retire_one()
+        # visibility barrier: commits for waves ≤ wave−P must be applied
+        for j in [j for j in list(commits) if j <= wave - P]:
+            ray.get(commits.pop(j))
+
         parts = [t for t in ray.get(
-            [f.pop_wave.remote() for f in frontier_shards]) if t is not None]
+            [f.pop_wave.remote(wave) for f in frontier_shards])
+            if t is not None]
         if not parts:
-            if sum(ray.get([f.size.remote() for f in frontier_shards])) == 0:
-                break
-            window += 1
-            ray.get([f.reset_window.remote() for f in frontier_shards])
-            continue
+            # Bubble rule (oracle rule 9): if any wave in (wave−P, wave)
+            # popped rows, its discoveries may still be staged — advance
+            # the wave counter WITHOUT draining (the pipeline keeps
+            # running through bubbles). Otherwise nothing can be in
+            # flight (inflight only ever holds non-empty waves and the
+            # visibility barrier already applied commits ≤ wave−P), so
+            # the frontier counts below are exact.
+            if last_nonempty > wave - P:
+                wave += 1
+                continue
+            assert not inflight and not commits
+            szs = ray.get([f.sizes.remote() for f in frontier_shards])
+            if sum(s["active"] for s in szs):
+                window += 1
+                ray.get([f.reset_window.remote() for f in frontier_shards])
+                continue
+            break
+        last_nonempty = wave
         popped = pa.concat_tables(parts)
         order = pc.sort_indices(popped, sort_keys=[
             ("host", "ascending"), ("depth", "ascending"),
@@ -268,25 +359,29 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             shutil.rmtree(wave_dir)
         os.makedirs(tmp_wave)
 
-        # fused fetch+parse on the page-store actor pool (data-local
-        # hash-join + ParseStage + parsed-part write + link fan-out)
+        # fetch on the page-store pool (data-local hash-join), parse as
+        # stateless load-balanced tasks, all dispatched async — retired
+        # up to P−1 waves later
         hashes = popped["url_hash"].to_numpy(zero_copy_only=False)
         shard = (hashes % np.uint64(cfg.n_page_shards)).astype(np.int64)
         refs = []
         for s in range(cfg.n_page_shards):
             mask = shard == s
-            if mask.any():
-                refs.append(page_stores[s].fetch_parse.remote(
-                    pack(popped.filter(pa.array(mask))),
-                    os.path.join(tmp_wave, f"part-{s:05d}.parquet"),
+            if not mask.any():
+                continue
+            sub = popped.filter(pa.array(mask))
+            fetched_ref = page_stores[s].fetch.remote(pack(sub))
+            for b, start in enumerate(range(0, sub.num_rows, cfg.parse_batch)):
+                stop = min(start + cfg.parse_batch, sub.num_rows)
+                refs.append(_parse_task.remote(
+                    fetched_ref, start, stop,
+                    os.path.join(tmp_wave, f"part-{s:05d}-{b:05d}.parquet"),
                     cfg.now, cfg.max_depth))
-        ray.get(refs)
-        os.rename(tmp_wave, wave_dir)
-
-        push_admitted()
+        inflight.append((wave, refs, tmp_wave, wave_dir))
         wave += 1
         waves_done += 1
         if cfg.checkpoint_every and wave % cfg.checkpoint_every == 0:
+            drain()                    # epoch = fully settled state
             _checkpoint(out_dir, wave, window, pop_rank,
                         frontier_shards, seen_shards)
             if stop_after_waves is not None and waves_done >= stop_after_waves:

@@ -9,22 +9,16 @@ in-memory url_hash→row index — a semi-join where frontier rows
 without a page row are the 404 path (``austria:60-65`` skip
 semantics).
 
-This actor pool is also the crawl's **fetch+parse stage**: the parse
-(:class:`~crawler_ray.stages.parse.ParseStage`) runs inside the actor,
-data-local to the fetched rows, and the stage fans its link
-candidates directly out to the seen shards and writes its parsed
-Parquet part — the actor-pool equivalent of
-``map_batches(FetchParse, concurrency=n_shards)``, chosen over a
-per-wave ``Dataset`` because the wave loop runs dozens of small
-iterations where per-pipeline setup (~1s) would dominate (the
-streaming-corpus variant of the same stage IS a Dataset pipeline, see
-``pipelines/extract.py``). Wave protocol cost: one actor RPC per
-shard per wave.
+``fetch`` returns the joined rows as an Arrow table in the object
+store; the crawl's parse work runs as stateless ``_parse_task`` Ray
+tasks over zero-copy slices of that table (``pipelines/crawl.py``) so
+parse CPU load-balances across the whole cluster instead of being
+pinned to the shard that owns the pages.
 
 In a real deployment this pool is an aiohttp fetcher (same
-``fetch_parse(batch)`` interface); the store is the sandbox stand-in
-for "the web". At 100 TB the eager in-memory html would be replaced
-by lazy row-group reads (index: url_hash → (file, row_group)) with an
+``fetch(batch)`` interface); the store is the sandbox stand-in for
+"the web". At 100 TB the eager in-memory html would be replaced by
+lazy row-group reads (index: url_hash → (file, row_group)) with an
 LRU — the API and the crawl loop are unchanged.
 """
 
@@ -66,28 +60,44 @@ class PageStore:
         self.n_shards = n_shards
         self.table: pa.Table | None = None
         self.index: dict[int, int] = {}
-        self.seen_shards: list | None = None
 
     def load(self, pages_path: str) -> int:
-        """Read the corpus and keep this shard's rows
-        (``url_hash % n_shards == shard_id``). Each shard reads the
-        file independently (parallel, page-cache friendly); at 100 TB
-        this becomes per-shard file listings + lazy row groups."""
-        t = pq.read_table(pages_path, columns=FETCH_COLS)
-        urls = [canonicalize(u) for u in t["url"].to_pylist()]
-        hashes = np.array(hash64_many(urls), dtype=np.uint64)
-        mine = (hashes % np.uint64(self.n_shards)) == self.shard_id
-        t = (t.set_column(t.schema.get_field_index("url"), "url",
-                          pa.array(urls, pa.string()))
-              .append_column("url_hash", pa.array(hashes, pa.uint64()))
-              .filter(pa.array(mine)))
+        """Load this shard's slice (``url_hash % n_shards ==
+        shard_id``). Two layouts:
+
+        - a **sharded dir** from :func:`prepare_sharded_pages` (url
+          already canonical, url_hash precomputed): read only my
+          ``shard-xxxxx.parquet`` — O(corpus/n_shards) per actor;
+        - a single parquet file: read + canonicalize + filter (t1/t2
+          test path; O(corpus) per actor — fine at fixture scale).
+
+        At 100 TB the sharded layout is the only path, with lazy
+        row-group reads behind the same index."""
+        import json
+        import os
+        if os.path.isdir(pages_path):
+            meta = json.load(open(os.path.join(pages_path, "meta.json")))
+            if meta["n_shards"] == self.n_shards:
+                t = pq.read_table(os.path.join(
+                    pages_path, f"shard-{self.shard_id:05d}.parquet"))
+            else:                       # layout mismatch: read-all fallback
+                t = pq.read_table(pages_path)
+                hashes = t["url_hash"].to_numpy(zero_copy_only=False)
+                mine = (hashes % np.uint64(self.n_shards)) == self.shard_id
+                t = t.filter(pa.array(mine))
+        else:
+            t = pq.read_table(pages_path, columns=FETCH_COLS)
+            urls = [canonicalize(u) for u in t["url"].to_pylist()]
+            hashes = np.array(hash64_many(urls), dtype=np.uint64)
+            mine = (hashes % np.uint64(self.n_shards)) == self.shard_id
+            t = (t.set_column(t.schema.get_field_index("url"), "url",
+                              pa.array(urls, pa.string()))
+                  .append_column("url_hash", pa.array(hashes, pa.uint64()))
+                  .filter(pa.array(mine)))
         self.table = t
         self.index = {int(h): i for i, h in enumerate(
             t["url_hash"].to_numpy(zero_copy_only=False))}
         return t.num_rows
-
-    def set_sinks(self, seen_shards: list) -> None:
-        self.seen_shards = seen_shards
 
     # -- fetch-only (join) ------------------------------------------------
     def fetch(self, popped) -> pa.Table:
@@ -112,36 +122,61 @@ class PageStore:
                    .append_column("lang", page_rows["lang"])
                    .append_column("warc_ts", page_rows["warc_ts"]))
 
-    # -- fused fetch+parse (the crawl's hot stage) ------------------------
-    def fetch_parse(self, popped, part_path: str, now, max_depth) -> int:
-        """Fetch, parse, persist the parsed part, fan links out to the
-        seen shards. Returns row count."""
-        from crawler_ray.pipelines.crawl import _explode_links
-        from crawler_ray.stages.parse import ParseStage
-
-        fetched = self.fetch(popped)
-        parsed = ParseStage(now)(fetched)
-        pq.write_table(parsed, part_path)
-        cands = _explode_links(parsed)
-        if max_depth is not None:
-            import pyarrow.compute as pc
-            cands = cands.filter(pc.less_equal(cands["depth"], max_depth))
-        if cands.num_rows and self.seen_shards:
-            hashes = cands["url_hash"].to_numpy(zero_copy_only=False)
-            shard = (hashes % np.uint64(len(self.seen_shards))).astype(np.int64)
-            acks = []
-            for s in range(len(self.seen_shards)):
+def prepare_sharded_pages(pages_path: str, out_dir: str,
+                          n_shards: int) -> str:
+    """One-time corpus indexing: canonicalize + hash every url, split
+    rows into ``shard-xxxxx.parquet`` by ``url_hash % n_shards``
+    (idempotent via meta.json). One streaming driver pass over the row
+    groups; at 100 TB this is a Ray Data ``map_batches`` +
+    partitioned ``write_parquet`` job with the same layout."""
+    import json
+    import os
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        if json.load(open(meta_path))["n_shards"] == n_shards:
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    pf = pq.ParquetFile(pages_path)
+    writers: list[pq.ParquetWriter | None] = [None] * n_shards
+    try:
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg, columns=FETCH_COLS)
+            urls = [canonicalize(u) for u in t["url"].to_pylist()]
+            hashes = np.array(hash64_many(urls), dtype=np.uint64)
+            t = (t.set_column(t.schema.get_field_index("url"), "url",
+                              pa.array(urls, pa.string()))
+                  .append_column("url_hash", pa.array(hashes, pa.uint64())))
+            shard = (hashes % np.uint64(n_shards)).astype(np.int64)
+            for s in range(n_shards):
                 mask = shard == s
-                if mask.any():
-                    acks.append(self.seen_shards[s].offer.remote(
-                        pack(cands.filter(pa.array(mask)))))
-            ray.get(acks)
-        return parsed.num_rows
+                if not mask.any():
+                    continue
+                part = t.filter(pa.array(mask))
+                if writers[s] is None:
+                    writers[s] = pq.ParquetWriter(
+                        os.path.join(out_dir, f"shard-{s:05d}.parquet"),
+                        part.schema)
+                writers[s].write_table(part)
+    finally:
+        for w in writers:
+            if w is not None:
+                w.close()
+    for s in range(n_shards):            # empty shards still need a file
+        p = os.path.join(out_dir, f"shard-{s:05d}.parquet")
+        if not os.path.exists(p):
+            empty = pq.ParquetFile(pages_path).schema_arrow
+            sch = pa.schema(
+                [empty.field(c) for c in FETCH_COLS]
+                + [pa.field("url_hash", pa.uint64())])
+            pq.write_table(sch.empty_table(), p)
+    with open(meta_path, "w") as f:
+        json.dump({"n_shards": n_shards}, f)
+    return out_dir
 
 
 def build_page_stores(pages_path: str, n_shards: int) -> list:
     """Spin up the shard pool; each shard loads its slice in parallel."""
-    stores = [PageStore.options(max_concurrency=2).remote(i, n_shards)
+    stores = [PageStore.options(max_concurrency=1).remote(i, n_shards)
               for i in range(n_shards)]
     ray.get([s.load.remote(pages_path) for s in stores])
     return stores

@@ -63,7 +63,7 @@ class SeenShard:
         self.bloom = BloomFilter(capacity)
         self.exact: set[int] = set()
         self.robots = robots                     # host -> [disallow prefixes]
-        self._pending: list[pa.Table] = []
+        self._pending: dict[int, list[pa.Table]] = {}   # wave -> offered tables
         self.frontier_shards: list | None = None
         self.metrics = {"robots_excluded": 0, "dup_discovery": 0, "admitted": 0,
                         "bloom_false_positives": 0}
@@ -73,19 +73,26 @@ class SeenShard:
         actor→actor (no driver round trip per wave)."""
         self.frontier_shards = frontier_shards
 
-    def offer(self, table) -> int:
+    def offer(self, table, wave: int = 0) -> int:
+        """Buffer candidates under their discovery wave. Offers for a
+        wave are complete before its ``commit_wave`` is dispatched
+        (the driver barriers on the wave's fetch+parse first), so
+        commits are deterministic under pipelining."""
         import pickle
         if isinstance(table, (bytes, bytearray)):
             table = pickle.loads(table)
-        self._pending.append(table)
+        self._pending.setdefault(wave, []).append(table)
         return table.num_rows
 
-    def commit_wave(self) -> int:
+    def commit_wave(self, wave: int = 0, visible_from: int = 0) -> int:
         """Dedup → robots → membership probe → admit → push admitted
-        to the frontier shards. Returns the admitted count."""
-        t = self._commit()
+        entries (tagged ``visible_from``) to the frontier shards.
+        Returns the admitted count."""
+        t = self._commit(wave)
         if t is None:
             return 0
+        t = t.append_column("visible_from", pa.array(
+            np.full(t.num_rows, visible_from, dtype=np.int32)))
         if not self.frontier_shards:
             return t.num_rows
         from crawler_ray.sources.pages import pack
@@ -101,11 +108,11 @@ class SeenShard:
         ray.get(refs)
         return t.num_rows
 
-    def _commit(self) -> pa.Table | None:
-        if not self._pending:
+    def _commit(self, wave: int) -> pa.Table | None:
+        pending = self._pending.pop(wave, None)
+        if not pending:
             return None
-        t = pa.concat_tables(self._pending)
-        self._pending = []
+        t = pa.concat_tables(pending)
         # rule 6: keep the smallest (depth, parent_order, dom_idx) per url_hash
         order = pc.sort_indices(t, sort_keys=[("url_hash", "ascending"),
                                               ("depth", "ascending"),
@@ -152,7 +159,7 @@ class SeenShard:
         self.exact = set(int(x) for x in hashes)
         self.bloom = BloomFilter(max(self.bloom.capacity, len(hashes)))
         self.bloom.add(hashes)
-        self._pending = []
+        self._pending = {}
         return len(self.exact)
 
     def stats(self) -> dict:
