@@ -140,6 +140,18 @@ def _crawl_reachable(sf_dir: str):
     return crawl_reachable(sf_dir)
 
 
+def _doc_summary(sf_dir: str):
+    from crawler_ray.functions.metadata import summary_batch
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        summary_batch, batch_format="pyarrow")
+
+
+def _doc_clusters(sf_dir: str):
+    from crawler_ray.pipelines.cluster import tfidf_kmeans
+    return tfidf_kmeans(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                        k=4, n_iter=5, vocab_size=128)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines import analytics as A
     return {
@@ -150,7 +162,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": A.events_hourly,
         "sessionize": A.sessionize,
         "stopwords_by_source": A.stopwords_by_source,
-        # text analysis (M15-M22 + training-data ops)
+        # text analysis (M15-M23 + training-data ops)
+        "doc_keywords": A.doc_keywords_query,
+        "doc_enrich": A.doc_enrich_query,
+        "doc_summary": _doc_summary,
+        "doc_clusters": _doc_clusters,
+        "events_props": A.events_props_query,
         "doc_stats": A.doc_stats_query,
         "doc_tokens": A.doc_tokens_query,
         "doc_quality": A.doc_quality_query,
@@ -179,6 +196,9 @@ def oracle_sql() -> dict[str, str]:
     from crawler_ray.pipelines.docgraph import CRAWL_REACHABLE_SQL
     return {
         "q1_pricing_summary": A.Q1_SQL,
+        "doc_keywords": A.DOC_KEYWORDS_SQL,
+        "doc_enrich": A.DOC_ENRICH_SQL,
+        "events_props": A.EVENTS_PROPS_SQL,
         "revenue_by_nation": A.REVENUE_NATION_SQL,
         "top_parts_by_revenue": A.TOP_PARTS_SQL,
         "events_hourly": A.EVENTS_HOURLY_SQL,

@@ -509,3 +509,145 @@ def doc_md5_query(sf_dir: str) -> "ray.data.Dataset":
         })
     return (_read(sf_dir, "documents", columns=["doc_id", "text"])
             .map_batches(fn, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# keyword top-k per doc (M16, unigram variant — SQL-checkable; the full
+# 1..3-gram extractor is functions/metadata.keywords_batch)
+# --------------------------------------------------------------------------
+
+KEYWORDS_TOP_K = 10
+_STOPLIST_SQL = "('the','of','and','to','in','is','a','for','on','that')"
+_STOPLIST = frozenset(("the", "of", "and", "to", "in", "is", "a",
+                       "for", "on", "that"))
+
+DOC_KEYWORDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), f AS (
+  SELECT doc_id, term, count(*) AS term_count
+  FROM toks WHERE term <> '' AND term NOT IN {_STOPLIST_SQL}
+  GROUP BY doc_id, term
+), r AS (
+  SELECT doc_id, term, term_count,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY term_count DESC, term) AS rk
+  FROM f
+)
+SELECT doc_id, term AS keyword, term_count FROM r
+WHERE rk <= {KEYWORDS_TOP_K}
+"""
+
+
+def doc_keywords_query(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc top-k unigram keywords, exploded to rows (local per-doc
+    heap inside map_batches — no shuffle, SURVEY O1)."""
+    from collections import Counter
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, kws, counts = [], [], []
+        for i, text in zip(batch["doc_id"].to_pylist(),
+                           batch["text"].to_pylist()):
+            c = Counter(t for t in re.findall(r"[a-z]+", (text or "").lower())
+                        if t not in _STOPLIST)
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            for term, n in top[:KEYWORDS_TOP_K]:
+                ids.append(i); kws.append(term); counts.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "keyword": pa.array(kws, pa.string()),
+            "term_count": pa.array(counts, pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(fn, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction over the events stream table
+# --------------------------------------------------------------------------
+
+EVENTS_PROPS_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def events_props_query(sf_dir: str) -> "ray.data.Dataset":
+    import json as _json
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                v = _json.loads(p).get("k")
+            except (TypeError, ValueError):
+                v = None
+            ks.append(int(v) if v is not None else None)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    return (_read(sf_dir, "events", columns=["event_id", "props"])
+            .map_batches(fn, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# metadata-extractor conformance: enrich docs with a deterministic
+# legal-style sentence derived from doc_id, run the M17-M20 kernels,
+# and let the SQL oracle recompute the expected values arithmetically
+# --------------------------------------------------------------------------
+
+DOC_ENRICH_SQL = """
+SELECT doc_id,
+  1 AS n_penalties,
+  CAST(1000 + doc_id AS DOUBLE) AS penalty_eur,
+  doc_id % 120 AS first_article,
+  (doc_id % 120) BETWEEN 1 AND 99 AS article_valid,
+  1 AS gdpr_mentions,
+  1 AS n_timeline
+FROM documents
+"""
+
+
+def doc_enrich_query(sf_dir: str) -> "ray.data.Dataset":
+    """Appends a templated sentence (fine amount / article ref / date
+    all derived from doc_id), runs the penalty / citation / timeline
+    extractors on the combined text, and projects the extracted values
+    — the oracle knows the arithmetic truth, so the extraction logic
+    itself is hash-checked."""
+    from crawler_ray.functions.metadata import (
+        citation_refs_batch, citations_count_batch, penalties_batch,
+        timeline_batch)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [
+            f"{t} The authority imposed a fine of {1000 + i} EUR "
+            f"on 2021-03-15. See Article {i % 120}(2)(a) GDPR."
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        enriched = pa.table({"doc_id": batch["doc_id"],
+                             "text": pa.array(texts, pa.string())})
+        pens = penalties_batch(enriched)["penalties"].to_pylist()
+        refs = citation_refs_batch(enriched)["gdpr_refs"].to_pylist()
+        cites = citations_count_batch(enriched)["gdpr_mentions"]
+        times = timeline_batch(enriched)["timeline"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_penalties": pa.array([len(p) for p in pens], pa.int64()),
+            "penalty_eur": pa.array(
+                [p[0]["amount"] if p else None for p in pens], pa.float64()),
+            "first_article": pa.array(
+                [r[0]["article"] if r else None for r in refs], pa.int64()),
+            "article_valid": pa.array(
+                [r[0]["valid"] if r else None for r in refs], pa.bool_()),
+            "gdpr_mentions": cites,
+            "n_timeline": pa.array([len(t) for t in times], pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(fn, batch_format="pyarrow"))

@@ -96,16 +96,21 @@ class CrawlConfig:
 
 @ray.remote
 def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
-                now, max_depth) -> bytes:
-    """Stateless parse work-unit: slice of a fetch-shard's rows →
-    ParseStage → parquet part; returns the packed link-candidate
-    table (the driver routes candidates to the seen shards at
-    retirement, keeping actor RPC waits off the parse critical path).
+                now, max_depth, wave: int, seen_shards: list) -> int:
+    """Stateless parse work-unit: slice of a fetch-shard's joined rows
+    → ParseStage → parquet part → wave-tagged candidate fan-out to the
+    seen shards (acked: task completion ⇒ this slice's offers are
+    delivered, so the wave's commit may be dispatched once every task
+    has returned). Fan-out from the tasks distributes the candidate
+    routing across the cluster and overlaps it with the other slices'
+    parse work — only the last task's offers sit on the wave gap.
 
-    Stateless tasks (vs parsing inside the page-store actor) let Ray
-    schedule parse work across every CPU regardless of which shard
-    owns the pages — per-wave stragglers are bounded by ``parse_batch``
-    instead of the biggest shard slice."""
+    Stateless tasks (vs parse inside the page-store actor) let Ray
+    schedule the work across every CPU regardless of which shard owns
+    the pages — per-wave stragglers are bounded by ``parse_batch``
+    instead of the biggest shard slice. The fetched table itself is a
+    single object-store entry per (wave, shard); every task maps it
+    zero-copy and slices its own rows."""
     from crawler_ray.stages.parse import ParseStage
 
     parsed = ParseStage(now)(fetched.slice(start, stop - start))
@@ -113,7 +118,35 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
     cands = _explode_links(parsed)
     if max_depth is not None:
         cands = cands.filter(pc.less_equal(cands["depth"], max_depth))
-    return pack(cands)
+    if cands.num_rows:
+        hashes = cands["url_hash"].to_numpy(zero_copy_only=False)
+        shard = (hashes % np.uint64(len(seen_shards))).astype(np.int64)
+        acks = []
+        for s in range(len(seen_shards)):
+            mask = shard == s
+            if mask.any():
+                acks.append(seen_shards[s].offer.remote(
+                    pack(cands.filter(pa.array(mask))), wave))
+        ray.get(acks)
+    return parsed.num_rows
+
+
+@ray.remote
+def _schedule_seeds(seeds: pa.Table, max_depth, seen_shards: list) -> int:
+    """Canonicalize + hash + offer one chunk of the seed list (acked;
+    pseudo-wave −1). Rule-6 dedup at commit is order-independent, so
+    chunks may interleave freely across tasks."""
+    urls = [canonicalize(u) for u in seeds["url"].to_pylist()]
+    cand = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "url_hash": pa.array(hash64_many(urls), pa.uint64()),
+        "host": pa.array([host_of(u) for u in urls], pa.string()),
+        "depth": pa.array([0] * len(urls), pa.int32()),
+        "parent_order": pa.array([-1] * len(urls), pa.int64()),
+        "dom_idx": seeds["seed_rank"].cast(pa.int32()),
+    })
+    _offer_candidates(cand, seen_shards, max_depth, wave=-1)
+    return cand.num_rows
 
 
 # --------------------------------------------------------------------------
@@ -254,16 +287,14 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                 shutil.rmtree(os.path.join(parsed_root, d))
     else:
         seeds_t = pq.read_table(seeds_path)
-        urls = [canonicalize(u) for u in seeds_t["url"].to_pylist()]
-        cand = pa.table({
-            "url": pa.array(urls, pa.string()),
-            "url_hash": pa.array(hash64_many(urls), pa.uint64()),
-            "host": pa.array([host_of(u) for u in urls], pa.string()),
-            "depth": pa.array([0] * len(urls), pa.int32()),
-            "parent_order": pa.array([-1] * len(urls), pa.int64()),
-            "dom_idx": seeds_t["seed_rank"].cast(pa.int32()),
-        })
-        _offer_candidates(cand, seen_shards, cfg.max_depth, wave=-1)
+        # canonicalize/hash/route in parallel tasks — seed lists can be
+        # frontier-sized (the drain bench seeds millions of URLs) and
+        # the per-URL python must not serialize on the driver
+        chunk = 50_000
+        refs = [_schedule_seeds.remote(
+                    seeds_t.slice(off, chunk), cfg.max_depth, seen_shards)
+                for off in range(0, seeds_t.num_rows, chunk)]
+        ray.get(refs)
         # seeds: committed as pseudo-wave −1, visible from wave 0
         ray.get([s.commit_wave.remote(-1, 0) for s in seen_shards])
 
@@ -281,21 +312,8 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
 
     def retire_one() -> None:
         j, refs, tmp_wave, wave_dir = inflight.popleft()
-        cand_blobs = ray.get(refs)                 # parse parts + candidates
+        ray.get(refs)                  # tasks done ⇒ wave-j offers landed
         os.rename(tmp_wave, wave_dir)
-        cands = [unpack(b) for b in cand_blobs]
-        cands = [c for c in cands if c.num_rows]
-        if cands:
-            # driver-routed offers: FIFO per (driver → seen shard) pair
-            # guarantees these precede the commit_wave(j) below
-            cand = cands[0] if len(cands) == 1 else pa.concat_tables(cands)
-            hashes = cand["url_hash"].to_numpy(zero_copy_only=False)
-            shard = (hashes % np.uint64(len(seen_shards))).astype(np.int64)
-            for s in range(len(seen_shards)):
-                mask = shard == s
-                if mask.any():
-                    seen_shards[s].offer.remote(
-                        pack(cand.filter(pa.array(mask))), j)
         commits[j] = [s.commit_wave.remote(j, j + P) for s in seen_shards]
 
     def drain() -> None:
@@ -364,19 +382,36 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         # up to P−1 waves later
         hashes = popped["url_hash"].to_numpy(zero_copy_only=False)
         shard = (hashes % np.uint64(cfg.n_page_shards)).astype(np.int64)
+        # stable-sort the ranked wave by page shard → contiguous
+        # per-shard slices of ONE object-store entry (no per-shard
+        # pickling; every fetch call slices the shared table zero-copy)
+        shard_order = np.argsort(shard, kind="stable")
+        popped_s = popped.take(pa.array(shard_order))
+        shard_sorted = shard[shard_order]
+        bounds = np.searchsorted(shard_sorted,
+                                 np.arange(cfg.n_page_shards + 1))
+        popped_ref = ray.put(popped_s)
         refs = []
+        fetch_chunk = cfg.parse_batch * 4
         for s in range(cfg.n_page_shards):
-            mask = shard == s
-            if not mask.any():
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            if lo == hi:
                 continue
-            sub = popped.filter(pa.array(mask))
-            fetched_ref = page_stores[s].fetch.remote(pack(sub))
-            for b, start in enumerate(range(0, sub.num_rows, cfg.parse_batch)):
-                stop = min(start + cfg.parse_batch, sub.num_rows)
-                refs.append(_parse_task.remote(
-                    fetched_ref, start, stop,
-                    os.path.join(tmp_wave, f"part-{s:05d}-{b:05d}.parquet"),
-                    cfg.now, cfg.max_depth))
+            # fetch in chunks so the first parse tasks start ~one chunk
+            # after dispatch instead of after the whole shard's join —
+            # a monolithic fetch left every CPU idle at wave start
+            for c, c_start in enumerate(range(lo, hi, fetch_chunk)):
+                c_stop = min(c_start + fetch_chunk, hi)
+                fetched_ref = page_stores[s].fetch.remote(
+                    popped_ref, c_start, c_stop)
+                for b, start in enumerate(
+                        range(0, c_stop - c_start, cfg.parse_batch)):
+                    stop = min(start + cfg.parse_batch, c_stop - c_start)
+                    refs.append(_parse_task.remote(
+                        fetched_ref, start, stop,
+                        os.path.join(tmp_wave,
+                                     f"part-{s:05d}-{c:05d}-{b:05d}.parquet"),
+                        cfg.now, cfg.max_depth, wave, seen_shards))
         inflight.append((wave, refs, tmp_wave, wave_dir))
         wave += 1
         waves_done += 1

@@ -95,32 +95,61 @@ class PageStore:
                   .append_column("url_hash", pa.array(hashes, pa.uint64()))
                   .filter(pa.array(mine)))
         self.table = t
-        self.index = {int(h): i for i, h in enumerate(
-            t["url_hash"].to_numpy(zero_copy_only=False))}
+        hashes = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.perm = np.argsort(hashes, kind="stable")
+        self.sorted_hashes = hashes[self.perm]
         return t.num_rows
 
+    def export(self):
+        """Publish this shard's (table, sorted url_hash index,
+        permutation) as ONE object-store entry. The crawl passes the
+        resulting ObjectRef to every stateless parse task — the join
+        runs inside the task against the zero-copy shared corpus, so
+        no per-wave actor round trip sits on the critical path."""
+        return (self.table, self.sorted_hashes, self.perm)
+
     # -- fetch-only (join) ------------------------------------------------
-    def fetch(self, popped) -> pa.Table:
+    def fetch(self, popped, start: int = 0, stop: int | None = None
+              ) -> pa.Table:
         """Join popped frontier rows against this shard's pages.
         Returns popped columns + ``status`` (200/404) + page columns
-        (html/lang/warc_ts; nulls on 404)."""
+        (html/lang/warc_ts; nulls on 404). ``popped`` may be a packed
+        blob (small control tables) or a shared object-store Arrow
+        table with ``[start, stop)`` bounds — the big-wave path where
+        the driver puts the ranked table once and every fetch slices
+        it zero-copy."""
         popped = unpack(popped)
-        hashes = popped["url_hash"].to_numpy(zero_copy_only=False)
-        rows = np.array([self.index.get(int(h), -1) for h in hashes],
-                        dtype=np.int64)
-        found = rows >= 0
-        status = pa.array(np.where(found, 200, 404).astype(np.int16))
-        out = popped.append_column("status", status)
-        if self.table is None or not found.any():
-            n = popped.num_rows
-            return (out.append_column("html", pa.nulls(n, pa.binary()))
-                       .append_column("lang", pa.nulls(n, pa.string()))
-                       .append_column("warc_ts", pa.nulls(n, pa.timestamp("us"))))
-        take = pa.array(np.where(found, rows, None))
-        page_rows = self.table.take(take)
-        return (out.append_column("html", page_rows["html"])
-                   .append_column("lang", page_rows["lang"])
-                   .append_column("warc_ts", page_rows["warc_ts"]))
+        if stop is not None:
+            popped = popped.slice(start, stop - start)
+        return join_pages(popped, self.table, self.sorted_hashes, self.perm)
+
+
+def join_pages(popped: pa.Table, corpus: pa.Table | None,
+               sorted_hashes: np.ndarray, perm: np.ndarray) -> pa.Table:
+    """Vectorized fetch-as-join (J5): probe the sorted url_hash index
+    with ``searchsorted`` (no per-row Python), take the matching page
+    rows; misses are the 404 path."""
+    hashes = popped["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = popped.num_rows
+    if corpus is None or len(sorted_hashes) == 0:
+        found = np.zeros(n, dtype=bool)
+        rows = np.zeros(n, dtype=np.int64)
+    else:
+        idx = np.searchsorted(sorted_hashes, hashes)
+        idx_c = np.minimum(idx, len(sorted_hashes) - 1)
+        found = sorted_hashes[idx_c] == hashes
+        rows = perm[idx_c]
+    status = pa.array(np.where(found, 200, 404).astype(np.int16))
+    out = popped.append_column("status", status)
+    if not found.any():
+        return (out.append_column("html", pa.nulls(n, pa.binary()))
+                   .append_column("lang", pa.nulls(n, pa.string()))
+                   .append_column("warc_ts", pa.nulls(n, pa.timestamp("us"))))
+    take = pa.array(np.where(found, rows, None))
+    page_rows = corpus.take(take)
+    return (out.append_column("html", page_rows["html"])
+               .append_column("lang", page_rows["lang"])
+               .append_column("warc_ts", page_rows["warc_ts"]))
 
 def prepare_sharded_pages(pages_path: str, out_dir: str,
                           n_shards: int) -> str:

@@ -11,14 +11,15 @@ window (``budget = round_ms // crawl_delay_ms``, ``politeness_cap``
 for delay-0 hosts — the token-bucket analogue of the reference's
 translate-quota window, ``services/translate_quota_service.py:8-31``).
 
-**Columnar queues, not Python heaps**: each host's queue is a set of
-numpy column arrays — a sorted prefix plus unsorted pending chunks
-appended by ``push``. ``pop_wave`` merges pending chunks with one
-vectorized ``np.lexsort`` and slices off the host's budget; per-URL
-Python work is zero. This is what keeps a mega-host (40 % of the
+**Columnar queues, zero python-per-URL**: each host's queue is a set
+of column chunks — numpy for the integer priority keys, Arrow string
+arrays for the urls (never converted to Python objects). ``push``
+groups an incoming table with one dictionary-encode + one integer
+lexsort; ``pop_wave`` merges pending chunks with one ``np.lexsort``
+and slices off the host's budget. This keeps a mega-host (40 % of the
 corpus on one shard — the EDPB/Czech skew model, SURVEY §4) off the
-critical path: popping 36k URLs is one lexsort (~ms), not 36k heap
-operations.
+critical path: popping 36k URLs is one lexsort + Arrow takes (~ms),
+not 36k heap operations.
 
 **Pipelined visibility (wave lag)**: every pushed entry carries a
 ``visible_from`` wave (= discovery wave + the crawl's
@@ -44,7 +45,7 @@ import ray
 __all__ = ["FrontierShard", "make_frontier_shards", "frontier_shard_of"]
 
 ENTRY_COLS = ("url", "url_hash", "host", "depth", "parent_order", "dom_idx")
-_QCOLS = ("depth", "parent_order", "dom_idx", "url", "url_hash")
+_INT_COLS = ("depth", "parent_order", "dom_idx", "url_hash")
 
 
 def frontier_shard_of(hosts, n_shards: int) -> np.ndarray:
@@ -56,26 +57,57 @@ def frontier_shard_of(hosts, n_shards: int) -> np.ndarray:
          for h in hosts], dtype=np.int32)
 
 
-def _chunk_from_arrays(depth, parent, dom, url, uh) -> dict:
+def _as_array(a) -> pa.Array:
+    """Normalize Array/ChunkedArray to a single contiguous pa.Array."""
+    if isinstance(a, pa.ChunkedArray):
+        if a.num_chunks == 1:
+            return a.chunk(0)
+        if a.num_chunks == 0:
+            return pa.array([], a.type)
+        return a.combine_chunks()
+    return a
+
+
+def _chunk(depth, parent, dom, url: pa.Array, uh) -> dict:
     return {"depth": np.asarray(depth, dtype=np.int32),
             "parent_order": np.asarray(parent, dtype=np.int64),
             "dom_idx": np.asarray(dom, dtype=np.int32),
-            "url": np.asarray(url, dtype=object),
+            "url": url,                              # pa.StringArray
             "url_hash": np.asarray(uh, dtype=np.uint64)}
 
 
-def _concat_chunks(chunks: list[dict]) -> dict:
+def _chunk_len(ch: dict) -> int:
+    return len(ch["depth"])
+
+
+def _concat(chunks: list[dict]) -> dict:
     if len(chunks) == 1:
         return chunks[0]
-    return {c: np.concatenate([ch[c] for ch in chunks]) for c in _QCOLS}
+    out = {c: np.concatenate([ch[c] for ch in chunks]) for c in _INT_COLS}
+    out["url"] = _as_array(pa.concat_arrays(
+        [_as_array(ch["url"]) for ch in chunks]))
+    return out
 
 
-def _sort_chunk(ch: dict) -> dict:
+def _take(ch: dict, order: np.ndarray) -> dict:
+    out = {c: ch[c][order] for c in _INT_COLS}
+    out["url"] = _as_array(_as_array(ch["url"]).take(
+        pa.array(order, pa.int64())))
+    return out
+
+
+def _slice(ch: dict, start: int, stop: int) -> dict:
+    out = {c: ch[c][start:stop] for c in _INT_COLS}
+    out["url"] = ch["url"].slice(start, stop - start)
+    return out
+
+
+def _sort(ch: dict) -> dict:
     # priority (depth, parent_order, dom_idx) — no further tie-break
     # needed: (parent_order, dom_idx) = (discovering page's unique
     # pop_rank, link index within it) is globally unique per entry
     order = np.lexsort((ch["dom_idx"], ch["parent_order"], ch["depth"]))
-    return {c: ch[c][order] for c in _QCOLS}
+    return _take(ch, order)
 
 
 class _HostQueue:
@@ -91,23 +123,54 @@ class _HostQueue:
         self.pending.append(chunk)
 
     def __len__(self) -> int:
-        n = 0 if self.sorted is None else len(self.sorted["depth"])
-        return n + sum(len(c["depth"]) for c in self.pending)
+        n = 0 if self.sorted is None else _chunk_len(self.sorted)
+        return n + sum(_chunk_len(c) for c in self.pending)
 
     def pop(self, k: int) -> dict | None:
         if self.pending:
             chunks = ([self.sorted] if self.sorted is not None else []) \
                 + self.pending
-            self.sorted = _sort_chunk(_concat_chunks(chunks))
+            self.sorted = _sort(_concat(chunks))
             self.pending = []
-        if self.sorted is None or len(self.sorted["depth"]) == 0:
+        if self.sorted is None or _chunk_len(self.sorted) == 0:
             return None
-        k = min(k, len(self.sorted["depth"]))
+        k = min(k, _chunk_len(self.sorted))
         if k <= 0:
             return None
-        out = {c: self.sorted[c][:k] for c in _QCOLS}
-        self.sorted = {c: self.sorted[c][k:] for c in _QCOLS}
+        out = _slice(self.sorted, 0, k)
+        self.sorted = _slice(self.sorted, k, _chunk_len(self.sorted))
         return out
+
+
+def _group_table(table: pa.Table):
+    """Yield ``(visible_from, host, chunk)`` groups of a pushed table
+    using one dictionary-encode + one integer lexsort — no Python-
+    object host/url materialization."""
+    n = table.num_rows
+    if n == 0:
+        return
+    host_dict = _as_array(table["host"]).dictionary_encode()
+    codes = host_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = host_dict.dictionary.to_pylist()         # unique hosts only
+    depth = table["depth"].to_numpy(zero_copy_only=False)
+    parent = table["parent_order"].to_numpy(zero_copy_only=False)
+    dom = table["dom_idx"].to_numpy(zero_copy_only=False)
+    uh = table["url_hash"].to_numpy(zero_copy_only=False)
+    url = _as_array(table["url"])
+    vis = (table["visible_from"].to_numpy(zero_copy_only=False)
+           if "visible_from" in table.column_names
+           else np.zeros(n, dtype=np.int32)).astype(np.int64)
+    order = np.lexsort((codes, vis))
+    vis_s, codes_s = vis[order], codes[order]
+    base = _take({"depth": depth, "parent_order": parent, "dom_idx": dom,
+                  "url_hash": uh, "url": url}, order)
+    cuts = np.flatnonzero((vis_s[1:] != vis_s[:-1])
+                          | (codes_s[1:] != codes_s[:-1])) + 1
+    starts = np.concatenate(([0], cuts))
+    stops = np.concatenate((cuts, [n]))
+    for lo, hi in zip(starts, stops):
+        yield int(vis_s[lo]), hosts[codes_s[lo]], _slice(base, int(lo),
+                                                         int(hi))
 
 
 @ray.remote
@@ -135,26 +198,10 @@ class FrontierShard:
         import pickle
         if isinstance(table, (bytes, bytearray)):
             table = pickle.loads(table)
-        n = table.num_rows
-        hosts = np.asarray(table["host"].to_pylist(), dtype=object)
-        depth = table["depth"].to_numpy(zero_copy_only=False)
-        parent = table["parent_order"].to_numpy(zero_copy_only=False)
-        dom = table["dom_idx"].to_numpy(zero_copy_only=False)
-        url = np.asarray(table["url"].to_pylist(), dtype=object)
-        uh = table["url_hash"].to_numpy(zero_copy_only=False)
-        vis = (table["visible_from"].to_numpy(zero_copy_only=False)
-               if "visible_from" in table.column_names
-               else np.zeros(n, dtype=np.int32))
-        for v in np.unique(vis):
-            vm = vis == v
-            hv = hosts[vm]
-            for h in np.unique(hv):
-                m = hv == h
-                chunk = _chunk_from_arrays(depth[vm][m], parent[vm][m],
-                                           dom[vm][m], url[vm][m], uh[vm][m])
-                self.staged.setdefault(int(v), []).append((str(h), chunk))
-        self.pushed += n
-        return n
+        for v, host, chunk in _group_table(table):
+            self.staged.setdefault(v, []).append((host, chunk))
+        self.pushed += table.num_rows
+        return table.num_rows
 
     def _activate(self, wave: int | None) -> None:
         for v in [v for v in self.staged
@@ -177,19 +224,19 @@ class FrontierShard:
             out = q.pop(rem)
             if out is None:
                 continue
-            self.remaining[host] = rem - len(out["depth"])
+            self.remaining[host] = rem - _chunk_len(out)
             parts.append((host, out))
         if not parts:
             return None
-        total = sum(len(c["depth"]) for _, c in parts)
+        total = sum(_chunk_len(c) for _, c in parts)
         self.popped += total
-        host_col = np.concatenate(
-            [np.full(len(c["depth"]), h, dtype=object) for h, c in parts])
-        merged = _concat_chunks([c for _, c in parts])
+        merged = _concat([c for _, c in parts])
+        host_col = pa.concat_arrays(
+            [pa.array([h] * _chunk_len(c), pa.string()) for h, c in parts])
         return pa.table({
-            "url": pa.array(merged["url"], pa.string()),
+            "url": _as_array(merged["url"]),
             "url_hash": pa.array(merged["url_hash"], pa.uint64()),
-            "host": pa.array(host_col, pa.string()),
+            "host": host_col,
             "depth": pa.array(merged["depth"], pa.int32()),
             "parent_order": pa.array(merged["parent_order"], pa.int64()),
             "dom_idx": pa.array(merged["dom_idx"], pa.int32()),
@@ -200,65 +247,68 @@ class FrontierShard:
 
     def size(self) -> int:
         return sum(len(q) for q in self.queues.values()) \
-            + sum(len(c["depth"]) for chunks in self.staged.values()
+            + sum(_chunk_len(c) for chunks in self.staged.values()
                   for _, c in chunks)
 
     def sizes(self) -> dict:
         """(active, staged) split — drives the driver's deterministic
         bubble-wave / window-advance / terminate decision."""
         return {"active": sum(len(q) for q in self.queues.values()),
-                "staged": sum(len(c["depth"]) for chunks in self.staged.values()
+                "staged": sum(_chunk_len(c) for chunks in self.staged.values()
                               for _, c in chunks)}
 
     # -- checkpoint -------------------------------------------------------
     def snapshot(self, path: str) -> int:
-        cols: dict[str, list] = {c: [] for c in ENTRY_COLS}
-        cols["budget_remaining"] = []
-        cols["visible_from"] = []
-
-        def emit(host: str, chunk: dict, vis: int) -> None:
-            k = len(chunk["depth"])
-            cols["url"].extend(chunk["url"])
-            cols["url_hash"].extend(chunk["url_hash"])
-            cols["host"].extend([host] * k)
-            cols["depth"].extend(chunk["depth"])
-            cols["parent_order"].extend(chunk["parent_order"])
-            cols["dom_idx"].extend(chunk["dom_idx"])
-            cols["budget_remaining"].extend([-1] * k)
-            cols["visible_from"].extend([vis] * k)
-
+        groups: list[tuple[str, dict, int]] = []
         for host, q in self.queues.items():
             if q.sorted is not None:
-                emit(host, q.sorted, 0)
+                groups.append((host, q.sorted, 0))
             for c in q.pending:
-                emit(host, c, 0)
+                groups.append((host, c, 0))
         for v, chunks in self.staged.items():
             for host, c in chunks:
-                emit(host, c, v)
+                groups.append((host, c, v))
+        urls = [_as_array(c["url"]) for _, c, _ in groups] or \
+            [pa.array([], pa.string())]
+        hosts = [pa.array([h] * _chunk_len(c), pa.string())
+                 for h, c, _ in groups] or [pa.array([], pa.string())]
+        n_live = sum(_chunk_len(c) for _, c, _ in groups)
+
+        def cat(col, dtype):
+            if not groups:
+                return np.zeros(0, dtype=dtype)
+            return np.concatenate([c[col] for _, c, _ in groups])
+
+        vis_col = np.concatenate(
+            [np.full(_chunk_len(c), v, dtype=np.int32)
+             for _, c, v in groups]) if groups else np.zeros(0, np.int32)
         # budgets ride along as sentinel rows (url="") so one parquet
         # holds the full shard state
-        for host, rem in self.remaining.items():
-            cols["url"].append(""); cols["url_hash"].append(0)
-            cols["host"].append(host); cols["depth"].append(-1)
-            cols["parent_order"].append(-1); cols["dom_idx"].append(-1)
-            cols["budget_remaining"].append(rem)
-            cols["visible_from"].append(-1)
+        sent_hosts = list(self.remaining)
         t = pa.table({
-            "url": pa.array(cols["url"], pa.string()),
-            "url_hash": pa.array(np.asarray(cols["url_hash"], dtype=np.uint64),
-                                 pa.uint64()),
-            "host": pa.array(cols["host"], pa.string()),
-            "depth": pa.array(np.asarray(cols["depth"], dtype=np.int32),
-                              pa.int32()),
-            "parent_order": pa.array(
-                np.asarray(cols["parent_order"], dtype=np.int64), pa.int64()),
-            "dom_idx": pa.array(np.asarray(cols["dom_idx"], dtype=np.int32),
-                                pa.int32()),
-            "budget_remaining": pa.array(
-                np.asarray(cols["budget_remaining"], dtype=np.int64),
-                pa.int64()),
-            "visible_from": pa.array(
-                np.asarray(cols["visible_from"], dtype=np.int32), pa.int32()),
+            "url": pa.concat_arrays(
+                urls + [pa.array([""] * len(sent_hosts), pa.string())]),
+            "url_hash": pa.array(np.concatenate(
+                [cat("url_hash", np.uint64),
+                 np.zeros(len(sent_hosts), np.uint64)]), pa.uint64()),
+            "host": pa.concat_arrays(
+                hosts + [pa.array(sent_hosts, pa.string())]),
+            "depth": pa.array(np.concatenate(
+                [cat("depth", np.int32),
+                 np.full(len(sent_hosts), -1, np.int32)]), pa.int32()),
+            "parent_order": pa.array(np.concatenate(
+                [cat("parent_order", np.int64),
+                 np.full(len(sent_hosts), -1, np.int64)]), pa.int64()),
+            "dom_idx": pa.array(np.concatenate(
+                [cat("dom_idx", np.int32),
+                 np.full(len(sent_hosts), -1, np.int32)]), pa.int32()),
+            "budget_remaining": pa.array(np.concatenate(
+                [np.full(n_live, -1, np.int64),
+                 np.array([self.remaining[h] for h in sent_hosts],
+                          np.int64)]), pa.int64()),
+            "visible_from": pa.array(np.concatenate(
+                [vis_col, np.full(len(sent_hosts), -1, np.int32)]),
+                pa.int32()),
         })
         pq.write_table(t, path)
         return t.num_rows
@@ -267,32 +317,21 @@ class FrontierShard:
         t = pq.read_table(path)
         self.queues, self.staged, self.remaining = {}, {}, {}
         depth = t["depth"].to_numpy(zero_copy_only=False)
-        vis = (t["visible_from"].to_numpy(zero_copy_only=False)
-               if "visible_from" in t.column_names
-               else np.zeros(t.num_rows, dtype=np.int32))
-        hosts = np.asarray(t["host"].to_pylist(), dtype=object)
-        url = np.asarray(t["url"].to_pylist(), dtype=object)
-        uh = t["url_hash"].to_numpy(zero_copy_only=False)
-        parent = t["parent_order"].to_numpy(zero_copy_only=False)
-        dom = t["dom_idx"].to_numpy(zero_copy_only=False)
-        rem = t["budget_remaining"].to_numpy(zero_copy_only=False)
         sent = depth < 0
-        for h, r in zip(hosts[sent], rem[sent]):
-            self.remaining[str(h)] = int(r)
-        live = ~sent
-        n = int(live.sum())
-        lv, lh = vis[live], hosts[live]
-        ld, lp, lm = depth[live], parent[live], dom[live]
-        lu, luh = url[live], uh[live]
-        for v in np.unique(lv):
-            vm = lv == v
-            for h in np.unique(lh[vm]):
-                m = vm & (lh == h)
-                chunk = _chunk_from_arrays(ld[m], lp[m], lm[m], lu[m], luh[m])
-                if v > 0:
-                    self.staged.setdefault(int(v), []).append((str(h), chunk))
-                else:
-                    self.queues.setdefault(str(h), _HostQueue()).add(chunk)
+        rem = t["budget_remaining"].to_numpy(zero_copy_only=False)
+        for h, r in zip(t.filter(pa.array(sent))["host"].to_pylist(),
+                        rem[sent]):
+            self.remaining[h] = int(r)
+        live = t.filter(pa.array(~sent))
+        if "visible_from" not in live.column_names:
+            live = live.append_column(
+                "visible_from", pa.array(np.zeros(live.num_rows, np.int32)))
+        n = live.num_rows
+        for v, host, chunk in _group_table(live):
+            if v > 0:
+                self.staged.setdefault(v, []).append((host, chunk))
+            else:
+                self.queues.setdefault(host, _HostQueue()).add(chunk)
         return n
 
     def stats(self) -> dict:

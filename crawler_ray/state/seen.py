@@ -41,15 +41,19 @@ CANDIDATE_COLS = ("url", "url_hash", "host", "depth", "parent_order", "dom_idx")
 
 def robots_allowed_mask(urls: list, hosts: list, robots: dict) -> np.ndarray:
     """Vector mask of robots-allowed urls. ``robots`` maps host →
-    list of disallowed path prefixes (empty → fully open)."""
+    list of disallowed path prefixes (empty → fully open). Only rows
+    whose host actually has rules are touched (most hosts have none,
+    so the per-row python work is a small fraction of the batch)."""
     from crawler_ray.urlnorm import path_of
     out = np.ones(len(urls), dtype=bool)
+    ruled = {h for h in set(hosts) if robots.get(h)}
+    if not ruled:
+        return out
     for i, (u, h) in enumerate(zip(urls, hosts)):
-        prefixes = robots.get(h)
-        if not prefixes:
+        if h not in ruled:
             continue
         path = path_of(u)
-        if any(path.startswith(p) for p in prefixes):
+        if any(path.startswith(p) for p in robots[h]):
             out[i] = False
     return out
 
@@ -61,7 +65,10 @@ class SeenShard:
     def __init__(self, shard_id: int, capacity: int, robots: dict):
         self.shard_id = shard_id
         self.bloom = BloomFilter(capacity)
-        self.exact: set[int] = set()
+        # exact membership as a SORTED uint64 array: probe =
+        # vectorized searchsorted, admit = np.union1d merge — no
+        # per-row Python on the commit path
+        self.exact = np.zeros(0, dtype=np.uint64)
         self.robots = robots                     # host -> [disallow prefixes]
         self._pending: dict[int, list[pa.Table]] = {}   # wave -> offered tables
         self.frontier_shards: list | None = None
@@ -128,11 +135,14 @@ class SeenShard:
         # robots (oracle rule 2; checked after same-wave dedup, before seen)
         allowed = robots_allowed_mask(t["url"].to_pylist(),
                                       t["host"].to_pylist(), self.robots)
-        # membership: bloom prefilter, exact confirm
+        # membership: bloom prefilter, exact confirm (both vectorized)
         maybe = self.bloom.might_contain(hashes)
         known = np.zeros(len(hashes), dtype=bool)
-        for i in np.flatnonzero(maybe):
-            known[i] = int(hashes[i]) in self.exact
+        if maybe.any() and len(self.exact):
+            h = hashes[maybe]
+            idx = np.minimum(np.searchsorted(self.exact, h),
+                             len(self.exact) - 1)
+            known[maybe] = self.exact[idx] == h
         self.metrics["bloom_false_positives"] += int(maybe.sum() - known.sum())
         self.metrics["dup_discovery"] += int((known & allowed).sum())
         self.metrics["robots_excluded"] += int((~allowed & ~known).sum())
@@ -141,22 +151,20 @@ class SeenShard:
             return None
         admit = hashes[new]
         self.bloom.add(admit)
-        self.exact.update(int(x) for x in admit)
+        self.exact = np.union1d(self.exact, admit)
         self.metrics["admitted"] += int(new.sum())
         return t.filter(pa.array(new))
 
     # -- checkpoint -------------------------------------------------------
     def snapshot(self, path: str) -> int:
         pq.write_table(
-            pa.table({"url_hash": pa.array(
-                np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)),
-                pa.uint64())}), path)
+            pa.table({"url_hash": pa.array(self.exact, pa.uint64())}), path)
         return len(self.exact)
 
     def restore(self, path: str) -> int:
         hashes = pq.read_table(path)["url_hash"].to_numpy(
             zero_copy_only=False).astype(np.uint64)
-        self.exact = set(int(x) for x in hashes)
+        self.exact = np.sort(hashes)
         self.bloom = BloomFilter(max(self.bloom.capacity, len(hashes)))
         self.bloom.add(hashes)
         self._pending = {}

@@ -1,0 +1,144 @@
+"""Unit tests for the text-analysis kernels (stats, quality, tokens,
+fingerprints, langid) and the metadata extractors (M16-M23)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_text_stats_counts():
+    from crawler_ray.functions.textops import text_stats
+    out = text_stats(_batch(["Hello world. How are you?", "", "one"]))
+    assert out["n_words"].to_pylist() == [5, 0, 1]
+    assert out["n_sentences"].to_pylist() == [2, 0, 0]
+    assert out["n_chars"].to_pylist() == [25, 0, 3]
+    assert out["read_time_min"][0].as_py() == 5 / 265.0
+
+
+def test_quality_scores_bounds():
+    from crawler_ray.functions.textops import quality_scores
+    out = quality_scores(_batch(["abcd " * 20, "1234!!", ""]))
+    q = out["quality"].to_pylist()
+    assert all(0.0 <= v <= 1.0 for v in q)
+    assert q[0] > q[1]                    # clean text beats digits+punct
+    assert out["alpha_ratio"][0].as_py() == 80 / 100.0
+
+
+def test_rolling_hash_properties():
+    from crawler_ray.functions.textops import (rolling_hash_many,
+                                               shingle_hashes,
+                                               shingle_hashes_fast)
+    h = rolling_hash_many(["abc", "abd", "abc", ""])
+    assert h[0] == h[2] and h[0] != h[1] and h[3] == 0
+    # the two shingle implementations agree
+    s1 = shingle_hashes("the quick brown fox jumps", 5)
+    s2 = shingle_hashes_fast("the quick brown fox jumps", 5)
+    assert np.array_equal(s1, s2)
+    # shingle hash of window == full hash of that substring
+    text = "abcdefgh"
+    s = shingle_hashes_fast(text, 3)
+    direct = rolling_hash_many([text[i:i + 3] for i in range(len(text) - 2)])
+    assert np.array_equal(s, direct)
+
+
+def test_langid_detects_obvious_languages():
+    from crawler_ray.functions.langid import detect_language_batch
+    langs, conf = detect_language_batch([
+        "the cat sat on the mat and it was happy",
+        "der Hund und die Katze sind nicht mit dem Mann",
+        "le chat est dans la maison et il aime le lait",
+        "xyzzy qwerty",
+    ])
+    assert langs[:3] == ["en", "de", "fr"]
+    assert langs[3] == "und" and conf[3] == 0.0
+
+
+def test_keywords_and_summary():
+    from crawler_ray.functions.metadata import keywords_batch, summary_batch
+    text = ("alpha beta alpha gamma. alpha is common here. "
+            "delta epsilon zeta eta.")
+    kw = keywords_batch(_batch([text]), top_k=3, max_n=1)
+    assert kw["keywords"][0].as_py()[0] == "alpha"
+    sm = summary_batch(_batch([text]), top_k=1)
+    assert "alpha" in sm["summary"][0].as_py()
+
+
+def test_citation_refs_and_validation():
+    from crawler_ray.functions.metadata import citation_refs_batch
+    out = citation_refs_batch(_batch(
+        ["See Article 6(1)(a) GDPR and Article 999 nonsense."]))
+    refs = out["gdpr_refs"][0].as_py()
+    assert refs[0]["article"] == 6 and refs[0]["paragraph"] == 1
+    assert refs[0]["letter"] == "a" and refs[0]["valid"]
+    assert refs[0]["chapter"] == 2          # articles 5-11 → chapter 2
+    assert not refs[1]["valid"] and refs[1]["chapter"] is None
+
+
+def test_penalties_parsing():
+    from crawler_ray.functions.metadata import penalties_batch
+    out = penalties_batch(_batch([
+        "The fine was 1 000 000,50 EUR. Unrelated 99 EUR here.",
+        "A penalty of €2,500 was imposed.",
+        "No money mentioned.",
+    ]))
+    p0 = out["penalties"][0].as_py()
+    assert p0 == [{"amount": 1000000.50, "currency": "EUR"}]
+    p1 = out["penalties"][1].as_py()
+    assert p1[0]["amount"] == 2500.0
+    assert out["penalties"][2].as_py() == []
+
+
+def test_timeline_extracts_dates():
+    from crawler_ray.functions.metadata import timeline_batch
+    out = timeline_batch(_batch(
+        ["Decided on 15.03.2021. Published 2021-04-01 later."]))
+    ev = out["timeline"][0].as_py()
+    assert [e["date"].isoformat() for e in ev] == ["2021-03-15", "2021-04-01"]
+
+
+def test_convert_stage_dispatch():
+    from crawler_ray.stages.convert import (ConvertStage, join_broken_lines,
+                                            sniff_type)
+    assert sniff_type(b"%PDF-1.4 x") == "pdf"
+    assert sniff_type(b"  <html>") == "html"
+    assert sniff_type(b"") == "empty"
+    assert sniff_type(b"{\\rtf1 hi}") == "rtf"
+    # zip of html members extracts via the engine extractor
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("b.html",
+                    '<div class="content"><p>second</p></div>')
+        zf.writestr("a.html",
+                    '<div class="content"><p>first</p></div>')
+    st = ConvertStage(payload_col="body", id_col="id")
+    out = st(pa.table({"id": pa.array([1, 2], pa.int64()),
+                       "body": pa.array([buf.getvalue(), b"%PDF-x"],
+                                        pa.binary())}))
+    assert out["content_type"].to_pylist() == ["zip", "pdf"]
+    # sorted members concat, then M14 joins the broken line
+    # ("first" lacks closing punctuation, "second" starts lowercase)
+    assert out["text"][0].as_py() == "first second"
+    assert out["converter"][1].as_py() == "stub:pdf"
+    # M14 line joining
+    assert join_broken_lines("ends mid\nsentence here.") == \
+        "ends mid sentence here."
+    assert join_broken_lines("Complete line.\nNew sentence.") == \
+        "Complete line.\nNew sentence."
+
+
+def test_convert_strict_raises():
+    import pytest
+
+    from crawler_ray.stages.convert import ConvertStage
+    st = ConvertStage(strict=True)
+    if st.pdfminer is None:
+        with pytest.raises(NotImplementedError):
+            st(pa.table({"body": pa.array([b"%PDF-1.4"], pa.binary()),
+                         "url": pa.array(["u"], pa.string())}))
