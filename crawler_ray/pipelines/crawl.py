@@ -131,6 +131,23 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
     return parsed.num_rows
 
 
+def _load_seeds(path: str) -> pa.Table:
+    """Seed list from Parquet or a crawler-ref.csv-shaped CSV (S1:
+    ``country, doc_type, status, seed_url`` — any column named
+    url/seed_url is the seed; rank = row order)."""
+    if path.endswith(".csv"):
+        from pyarrow import csv as pacsv
+        t = pacsv.read_csv(path)
+        lower = {c.lower(): c for c in t.column_names}
+        url_col = lower.get("url") or lower.get("seed_url") \
+            or t.column_names[-1]
+        return pa.table({
+            "url": t[url_col].cast(pa.string()),
+            "seed_rank": pa.array(np.arange(t.num_rows, dtype=np.int32)),
+        })
+    return pq.read_table(path)
+
+
 @ray.remote
 def _schedule_seeds(seeds: pa.Table, max_depth, seen_shards: list) -> int:
     """Canonicalize + hash + offer one chunk of the seed list (acked;
@@ -286,7 +303,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             elif d.startswith("wave=") and int(d.split("=")[1]) >= wave:
                 shutil.rmtree(os.path.join(parsed_root, d))
     else:
-        seeds_t = pq.read_table(seeds_path)
+        seeds_t = _load_seeds(seeds_path)
         # canonicalize/hash/route in parallel tasks — seed lists can be
         # frontier-sized (the drain bench seeds millions of URLs) and
         # the per-URL python must not serialize on the driver

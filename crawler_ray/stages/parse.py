@@ -62,33 +62,49 @@ PARSED_SCHEMA = pa.schema([
 
 
 class ParseStage:
-    """Callable-class batch transform (actor-pool friendly)."""
+    """Callable-class batch transform (actor-pool friendly).
 
-    def __init__(self, now=PINNED_NOW):
+    Per-source dispatch: each page's host selects a
+    :class:`~crawler_ray.sources.registry.SourceSpec`; its
+    ``page_parser`` / ``text_extractor`` replace the default contract
+    (the engine's version of the reference's 28-way scraper dispatch,
+    ``gdprCrawler.py:124-207``). Dispatch state is resolved once per
+    actor here in ``__init__``."""
+
+    def __init__(self, now=PINNED_NOW, registry=None):
+        from crawler_ray.sources.registry import spec_for_host
         self.now = now
         self.margin = now - GDPR_DATE
         self.hi = now + self.margin
+        self.registry = registry
+        self._spec_for_host = spec_for_host
 
     def _in_window(self, d) -> bool:
         return GDPR_DATE <= d <= self.hi
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from crawler_ray.urlnorm import host_of
         n = batch.num_rows
         urls = batch["url"].to_pylist()
         statuses = batch["status"].to_pylist() if "status" in batch.column_names \
             else [200] * n
         htmls = batch["html"].to_pylist()
+        hosts = (batch["host"].to_pylist() if "host" in batch.column_names
+                 else [host_of(u) for u in urls])
         kinds, titles, dates, doc_hashes, doc_keys, doc_oks = [], [], [], [], [], []
         texts, n_filtered = [], []
         l_urls, l_hashes, l_doms = [], [], []
-        for url, status, html in zip(urls, statuses, htmls):
+        for url, status, html, host in zip(urls, statuses, htmls, hosts):
             if status != 200 or html is None:
                 kinds.append("missing"); titles.append(None); dates.append(None)
                 doc_hashes.append(None); doc_keys.append(None); doc_oks.append(False)
                 texts.append(""); n_filtered.append(0)
                 l_urls.append([]); l_hashes.append([]); l_doms.append([])
                 continue
-            page = parse_page(html)
+            spec = self._spec_for_host(host, self.registry)
+            page = (spec.page_parser or parse_page)(html)
+            if spec.text_extractor is not None:
+                page.text = spec.text_extractor(html)
             kinds.append(page.kind)
             texts.append(page.text)
             # --- discovery candidates (oracle rules 4/7) ---

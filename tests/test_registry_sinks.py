@@ -1,0 +1,108 @@
+"""SourceSpec registry dispatch + output sinks + seed-CSV loader."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+
+def test_source_spec_dispatch():
+    from crawler_ray.extract import ParsedPage
+    from crawler_ray.sources import registry as R
+    from crawler_ray.stages.parse import ParseStage
+
+    def table_parser(html: bytes) -> ParsedPage:
+        # a custom source whose listings are pipe-separated lines
+        rows = []
+        for line in html.decode().splitlines():
+            if "|" in line:
+                title, date_str, href = line.split("|")
+                rows.append((title, date_str, href))
+        return ParsedPage(kind="listing", results=rows)
+
+    spec = R.SourceSpec(source_id="pipey", hosts=("pipe.example",),
+                        page_parser=table_parser)
+    try:
+        R.register(spec)
+        assert R.spec_for_host("pipe.example").source_id == "pipey"
+        assert R.spec_for_host("other.example").source_id == "default"
+
+        st = ParseStage()
+        batch = pa.table({
+            "url": pa.array(["https://pipe.example/list"], pa.string()),
+            "host": pa.array(["pipe.example"], pa.string()),
+            "html": pa.array(
+                [b"Doc A|2021-03-15|/doc/1\nDoc B|2021-04-01|/doc/2"],
+                pa.binary()),
+        })
+        out = st(batch)
+        links = out["link_url"][0].as_py()
+        assert links == ["https://pipe.example/doc/1",
+                         "https://pipe.example/doc/2"]
+        # default contract still applies to unregistered hosts
+        batch2 = pa.table({
+            "url": pa.array(["https://other.example/x"], pa.string()),
+            "host": pa.array(["other.example"], pa.string()),
+            "html": pa.array(
+                [b'<div class="content"><h1>T</h1><p>body</p></div>'],
+                pa.binary()),
+        })
+        assert st(batch2)["text"][0].as_py() == "T\nbody"
+    finally:
+        R.clear_registry()
+
+
+def test_reference_layout_export(ray_session, tmp_path):
+    import datetime
+
+    import ray
+
+    from crawler_ray.sinks import export_reference_layout, metadata_json
+    docs = ray.data.from_arrow(pa.table({
+        "host": pa.array(["h1.example"], pa.string()),
+        "doc_hash": pa.array(["abc123"], pa.string()),
+        "lang": pa.array(["de"], pa.string()),
+        "title": pa.array(["Bescheid"], pa.string()),
+        "release_date": pa.array([datetime.date(2021, 3, 15)], pa.date32()),
+        "url": pa.array(["https://h1.example/doc/1"], pa.string()),
+        "text": pa.array(["Bescheid\ninhalt"], pa.string()),
+    }))
+    n = export_reference_layout(docs, str(tmp_path / "tree"))
+    assert n == 1
+    d = tmp_path / "tree" / "h1.example" / "abc123"
+    assert (d / "de.txt").read_text() == "Bescheid\ninhalt"
+    meta = json.loads((d / "metadata.json").read_text())
+    assert meta == {"title.de": "Bescheid", "md5": "abc123",
+                    "releaseDate": "2021-03-15",
+                    "url": "https://h1.example/doc/1"}
+    # exact reference formatting (indent=4, sort_keys)
+    assert (d / "metadata.json").read_text() == metadata_json(
+        "Bescheid", "de", "abc123", "2021-03-15",
+        "https://h1.example/doc/1")
+
+
+def test_markdown_and_stopword_sinks(tmp_path):
+    import pandas as pd
+
+    from crawler_ray.sinks import render_markdown, write_stopwords_json
+    assert render_markdown("Hi {{name}}, {{n}} docs", {"name": "x", "n": 3}) \
+        == "Hi x, 3 docs"
+    df = pd.DataFrame({"source": ["s1", "s1", "s2"],
+                       "term": ["alpha", "beta", "alpha"],
+                       "term_count": [3, 2, 1]})
+    p = write_stopwords_json(df, str(tmp_path), "sw")
+    data = json.loads(open(p).read())
+    assert data == {"s1": ["alpha", "beta"], "s2": ["alpha"]}
+    assert open(str(tmp_path / "sw.txt")).read() == "alpha\nbeta\n"
+
+
+def test_csv_seed_loader(tmp_path):
+    from crawler_ray.pipelines.crawl import _load_seeds
+    p = tmp_path / "seeds.csv"
+    p.write_text("country,doc_type,status,url\n"
+                 "AT,Decisions,Crawled,https://a.example/s\n"
+                 "DK,Guidelines,notCrawled,https://b.example/s\n")
+    t = _load_seeds(str(p))
+    assert t["url"].to_pylist() == ["https://a.example/s",
+                                    "https://b.example/s"]
+    assert t["seed_rank"].to_pylist() == [0, 1]
