@@ -231,15 +231,24 @@ class SimHashStage:
         self.word_re = re.compile(r"[A-Za-z0-9]+")
         self.text_col, self.id_col = text_col, id_col
         self.bit_idx = np.arange(64, dtype=np.uint64)
+        # corpus vocabularies repeat heavily across docs: memoize the
+        # per-word hash once per actor (the model-state pattern)
+        self._word_hash: dict[str, int] = {}
+
+    def _hash_word(self, w: str) -> int:
+        h = self._word_hash.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            self._word_hash[w] = h
+        return h
 
     def simhash(self, text: str) -> np.uint64:
         words = self.word_re.findall((text or "").lower())
         if not words:
             return np.uint64(0)
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                            "little") for w in set(words)),
-            dtype=np.uint64)
+        hs = np.fromiter((self._hash_word(w) for w in set(words)),
+                         dtype=np.uint64)
         bits = (hs[:, None] >> self.bit_idx[None, :]) & np.uint64(1)
         votes = bits.astype(np.int64).sum(axis=0) * 2 - len(hs)
         return np.uint64(((votes >= 0).astype(np.uint64)
