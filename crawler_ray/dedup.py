@@ -135,8 +135,10 @@ class MinHashStage:
 
 def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int,
                id_col: str) -> pa.Table:
-    """Explode each signature into one row per band with a 64-bit band
-    key (mixed hash of the band's slice) — the LSH shuffle key."""
+    """Explode each signature into one (band_key, id) row per band —
+    the LSH shuffle key. Signatures do NOT ride along (they would
+    multiply the shuffle volume ×n_bands); the verify stage reads them
+    from a broadcast instead."""
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     flat = batch["minhash"].combine_chunks().flatten().to_numpy(
         zero_copy_only=False).astype(np.uint64)
@@ -154,38 +156,23 @@ def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int,
     return pa.table({
         "band_key": pa.array(out_key, pa.uint64()),
         id_col: pa.array(np.repeat(ids, n_bands)),
-        "minhash": pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(sigs, n_bands, axis=0).reshape(-1), pa.uint64()),
-            n_bands * rows_per_band),
     })
 
 
-def _bucket_pairs(g: pd.DataFrame, *, threshold: float, id_col: str,
+def _bucket_pairs(g: pd.DataFrame, *, id_col: str,
                   max_bucket: int) -> pd.DataFrame:
-    """In-bucket verify: est Jaccard = fraction of equal signature
-    slots. Oversized buckets collapse to a star around min id."""
+    """Candidate pairs within one LSH bucket (ids only). Oversized
+    buckets collapse to a star around the min id instead of O(g²)."""
     empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
-                          "b_id": pd.Series([], dtype="int64"),
-                          "est_jaccard": pd.Series([], dtype="float64")})
-    ids = g[id_col].to_numpy()
+                          "b_id": pd.Series([], dtype="int64")})
+    ids = np.sort(g[id_col].to_numpy())
     if len(ids) < 2:
         return empty
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    sigs = np.stack(g["minhash"].to_numpy()[order])
     if len(ids) > max_bucket:
-        anchor = sigs[0]
-        est = (sigs[1:] == anchor[None, :]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({"a_id": np.repeat(ids[0], keep.sum()),
-                             "b_id": ids[1:][keep], "est_jaccard": est[keep]})
+        return pd.DataFrame({"a_id": np.repeat(ids[0], len(ids) - 1),
+                             "b_id": ids[1:]})
     ii, jj = np.triu_indices(len(ids), k=1)
-    est = (sigs[ii] == sigs[jj]).mean(axis=1)
-    keep = est >= threshold
-    if not keep.any():
-        return empty
-    return pd.DataFrame({"a_id": ids[ii[keep]], "b_id": ids[jj[keep]],
-                         "est_jaccard": est[keep]})
+    return pd.DataFrame({"a_id": ids[ii], "b_id": ids[jj]})
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
@@ -193,29 +180,58 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
                       k: int = 5, seed: int = 1234,
                       text_col: str = "text", id_col: str = "doc_id",
                       max_bucket: int = 512) -> "ray.data.Dataset":
-    """Near-duplicate pairs by MinHash+LSH: signature map → band
-    explode → ``groupby(band_key)`` shuffle → in-bucket verify →
-    global pair dedup (second small groupby)."""
+    """Near-duplicate pairs by MinHash+LSH: signature map → (band_key,
+    id) explode → ``groupby(band_key)`` shuffle → candidate pairs →
+    global pair dedup → signature-similarity verify against the
+    broadcast signature matrix (``ray.put`` once; the scale path swaps
+    the broadcast for a hash-join of pairs against the signature table
+    — pair volume, not corpus volume, bounds this stage)."""
     n_perms = n_bands * rows_per_band
     sig = ds.map_batches(MinHashStage, batch_format="pyarrow",
                          fn_constructor_kwargs={
                              "n_perms": n_perms, "k": k, "seed": seed,
                              "text_col": text_col, "id_col": id_col},
-                         concurrency=(1, 8))
+                         concurrency=(1, 8)).materialize()
     bands = sig.map_batches(_band_rows, batch_format="pyarrow",
                             fn_kwargs={"n_bands": n_bands,
                                        "rows_per_band": rows_per_band,
                                        "id_col": id_col})
     pairs = bands.groupby("band_key").map_groups(
         _bucket_pairs, batch_format="pandas",
-        fn_kwargs={"threshold": threshold, "id_col": id_col,
-                   "max_bucket": max_bucket})
+        fn_kwargs={"id_col": id_col, "max_bucket": max_bucket})
 
     def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
         return g.iloc[:1]
 
-    return pairs.groupby(["a_id", "b_id"]).map_groups(
+    uniq = pairs.groupby(["a_id", "b_id"]).map_groups(
         dedup_pair, batch_format="pandas")
+
+    # broadcast signatures for the verify stage
+    sig_ids, sig_mat = [], []
+    for ref in sig.to_arrow_refs():
+        t = ray.get(ref)
+        sig_ids.append(t[id_col].to_numpy(zero_copy_only=False))
+        sig_mat.append(t["minhash"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.uint64).reshape(t.num_rows, -1))
+    ids_all = np.concatenate(sig_ids) if sig_ids else np.zeros(0, np.int64)
+    mat_all = np.vstack(sig_mat) if sig_mat else \
+        np.zeros((0, n_perms), np.uint64)
+    order = np.argsort(ids_all, kind="stable")
+    sig_ref = ray.put((ids_all[order], mat_all[order]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_s, mat = ray.get(sig_ref)
+        a = batch["a_id"].to_numpy(zero_copy_only=False)
+        b = batch["b_id"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_s, a)
+        ib = np.searchsorted(ids_s, b)
+        est = (mat[ia] == mat[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({"a_id": pa.array(a[keep]),
+                         "b_id": pa.array(b[keep]),
+                         "est_jaccard": pa.array(est[keep])})
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
