@@ -21,15 +21,17 @@ rounds ("waves") over sharded actors:
 
 Execution note (why this loop is not one big ``Dataset`` pipeline):
 the frontier is *iterative* — wave N+1's input depends on wave N's
-parse output through mutable shared state (seen set, priority heaps,
+parse output through mutable shared state (seen set, priority queues,
 politeness budgets), which the Dataset API cannot express. The batch
 transform is the same callable the pure Ray Data pipelines use
-(``stages/parse.py``); here it runs inside the page-store actor pool
-(= ``map_batches(FetchParse, concurrency=n_page_shards)`` semantics)
-because the loop executes dozens of small waves where per-wave
-Dataset instantiation (~1 s) would dominate; the wave protocol is
-three actor barriers (pop / fetch_parse / commit) with small control
-tables passed inline (see ``sources.pages.pack``).
+(``stages/parse.py``); here it runs as stateless ``_parse_task`` Ray
+tasks over zero-copy slices of each fetch shard's joined table
+(= ``map_batches`` semantics with work-stealing granularity
+``parse_batch``), because the loop executes dozens of small waves
+where per-wave Dataset instantiation (~1 s) would dominate. The wave
+protocol is pop / fetch / parse / commit actor rounds, pipelined up
+to ``pipeline_depth − 1`` waves deep, with small control tables
+passed inline (see ``sources.pages.pack``).
 
 Checkpoint/resume (north_rule): every ``checkpoint_every`` waves the
 driver snapshots every frontier shard + seen shard + counters into
@@ -41,10 +43,12 @@ uninterrupted run.
 
 Scale notes: popped-wave ranking is a driver-side Arrow sort bounded
 by Σ politeness budgets per wave (documented scale path: distributed
-``ds.sort`` + zipped ranks); mega-host skew affects only heap
-bookkeeping on its frontier shard — fetch/parse work is spread by
-``url_hash``; the seen set never materializes in one place (bloom +
-exact per shard).
+``ds.sort`` + zipped ranks); mega-host skew affects only columnar
+queue bookkeeping on its frontier shard (one lexsort per pop) —
+fetch/parse work is spread by ``url_hash`` and stolen across CPUs by
+``parse_batch``-sized stateless tasks; the seen set never
+materializes in one place (bloom/cuckoo + sorted exact array per
+shard).
 """
 
 from __future__ import annotations
@@ -88,6 +92,10 @@ class CrawlConfig:
                                        # driver keeps up to P-1 fetch+parse
                                        # waves in flight (data-driven
                                        # visibility keeps this deterministic)
+    seen_filter: str = "bloom"         # probabilistic prefilter on the seen
+                                       # shards: "bloom" | "cuckoo" (cuckoo
+                                       # supports deletion for re-queue
+                                       # policies; same exact-confirm path)
     parse_batch: int = 512             # rows per stateless parse task — the
                                        # work-unit Ray load-balances across
                                        # the cluster (bounds stragglers)
@@ -281,7 +289,8 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     frontier_shards = make_frontier_shards(cfg.n_frontier_shards, delays,
                                            cfg.round_ms, cfg.politeness_cap)
     seen_shards = make_seen_shards(cfg.n_seen_shards,
-                                   cfg.seen_capacity_per_shard, robots)
+                                   cfg.seen_capacity_per_shard, robots,
+                                   filter_kind=cfg.seen_filter)
     ray.get([s.set_frontier.remote(frontier_shards) for s in seen_shards])
     page_stores = build_page_stores(pages_path, cfg.n_page_shards)
 

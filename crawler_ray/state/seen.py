@@ -62,9 +62,11 @@ def robots_allowed_mask(urls: list, hosts: list, robots: dict) -> np.ndarray:
 class SeenShard:
     """One shard of the URL-seen set. See module docstring."""
 
-    def __init__(self, shard_id: int, capacity: int, robots: dict):
+    def __init__(self, shard_id: int, capacity: int, robots: dict,
+                 filter_kind: str = "bloom"):
         self.shard_id = shard_id
-        self.bloom = BloomFilter(capacity)
+        self.filter_kind = filter_kind
+        self.bloom = self._make_filter(capacity)
         # exact membership as a SORTED uint64 array: probe =
         # vectorized searchsorted, admit = np.union1d merge — no
         # per-row Python on the commit path
@@ -74,6 +76,12 @@ class SeenShard:
         self.frontier_shards: list | None = None
         self.metrics = {"robots_excluded": 0, "dup_discovery": 0, "admitted": 0,
                         "bloom_false_positives": 0}
+
+    def _make_filter(self, capacity: int):
+        if self.filter_kind == "cuckoo":
+            from crawler_ray.state.cuckoo import CuckooFilter
+            return CuckooFilter(capacity)
+        return BloomFilter(capacity)
 
     def set_frontier(self, frontier_shards: list) -> None:
         """Wire the frontier pool so admitted entries are pushed
@@ -165,7 +173,7 @@ class SeenShard:
         hashes = pq.read_table(path)["url_hash"].to_numpy(
             zero_copy_only=False).astype(np.uint64)
         self.exact = np.sort(hashes)
-        self.bloom = BloomFilter(max(self.bloom.capacity, len(hashes)))
+        self.bloom = self._make_filter(max(self.bloom.capacity, len(hashes)))
         self.bloom.add(hashes)
         self._pending = {}
         return len(self.exact)
@@ -175,9 +183,9 @@ class SeenShard:
 
 
 def make_seen_shards(n_shards: int, capacity_per_shard: int, robots: dict,
-                     name_prefix: str = "") -> list:
+                     name_prefix: str = "", filter_kind: str = "bloom") -> list:
     return [SeenShard.options(
                 name=f"{name_prefix}seen:{i}" if name_prefix else None,
                 max_concurrency=1)
-            .remote(i, capacity_per_shard, robots)
+            .remote(i, capacity_per_shard, robots, filter_kind)
             for i in range(n_shards)]

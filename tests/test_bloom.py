@@ -26,3 +26,49 @@ def test_empty_and_roundtrip():
     bf2 = BloomFilter.from_state(bf.state())
     assert bf2.might_contain(np.array([42], dtype=np.uint64)).all()
     assert bf2.count == bf.count
+
+
+def test_cuckoo_filter_membership_and_delete():
+    import numpy as np
+
+    from crawler_ray.state.cuckoo import CuckooFilter
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    cf = CuckooFilter(10_000)
+    cf.add(keys)
+    # no false negatives
+    assert cf.might_contain(keys).all()
+    # false-positive rate bounded (~1.2e-4 nominal; allow 10x slack)
+    probe = rng.integers(0, 2**63, size=20_000, dtype=np.uint64)
+    fresh = probe[~np.isin(probe, keys)]
+    assert cf.might_contain(fresh).mean() < 1.2e-3
+    # deletion (the cuckoo advantage over bloom)
+    removed = cf.delete(keys[:100])
+    assert removed.all()
+    assert not cf.might_contain(keys[:100]).any() or \
+        cf.might_contain(keys[:100]).mean() < 0.05   # residual FPs only
+    # snapshot roundtrip
+    cf2 = CuckooFilter.from_state(cf.state())
+    assert cf2.might_contain(keys[100:200]).all()
+
+
+def test_seen_shard_with_cuckoo(ray_session):
+    import ray
+
+    from crawler_ray.sources.pages import pack
+    from crawler_ray.state.seen import SeenShard
+    import pyarrow as pa
+    s = SeenShard.remote(0, 1000, {}, "cuckoo")
+    ray.get(s.set_frontier.remote([]))
+    t = pa.table({
+        "url": pa.array(["https://h/a"], pa.string()),
+        "url_hash": pa.array([11], pa.uint64()),
+        "host": pa.array(["h"], pa.string()),
+        "depth": pa.array([0], pa.int32()),
+        "parent_order": pa.array([-1], pa.int64()),
+        "dom_idx": pa.array([0], pa.int32()),
+    })
+    ray.get(s.offer.remote(pack(t)))
+    assert ray.get(s.commit_wave.remote()) == 1
+    ray.get(s.offer.remote(pack(t)))
+    assert ray.get(s.commit_wave.remote()) == 0     # dup via cuckoo+exact
