@@ -269,12 +269,16 @@ def _latest_epoch(out_dir: str) -> str | None:
 
 def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
               out_dir: str, cfg: CrawlConfig | None = None,
-              resume: bool = False, stop_after_waves: int | None = None) -> dict:
+              resume: bool = False, stop_after_waves: int | None = None,
+              seed_only: bool = False) -> dict:
     """Run (or resume) a crawl. Returns a summary dict.
 
     ``stop_after_waves`` aborts mid-crawl after N waves *post
     checkpoint* — used by the resume-equivalence tests to simulate a
-    kill."""
+    kill. ``seed_only`` bootstraps the crawl state (seed admission +
+    epoch-0 checkpoint) and stops — a later ``resume=True`` run
+    continues from exactly that state (the drain bench uses this to
+    time the crawl proper, not the seed ingest)."""
     cfg = cfg or CrawlConfig()
     os.makedirs(out_dir, exist_ok=True)
     parsed_root = os.path.join(out_dir, "parsed")
@@ -323,6 +327,9 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         ray.get(refs)
         # seeds: committed as pseudo-wave −1, visible from wave 0
         ray.get([s.commit_wave.remote(-1, 0) for s in seen_shards])
+        if seed_only:
+            _checkpoint(out_dir, 0, 0, 0, frontier_shards, seen_shards)
+            return {"seeded": True, "out_dir": out_dir}
 
     # ---- pipelined wave loop --------------------------------------------
     # In flight at any time: up to (pipeline_depth − 1) fetch+parse
