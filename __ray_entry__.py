@@ -140,6 +140,11 @@ def _crawl_reachable(sf_dir: str):
     return crawl_reachable(sf_dir)
 
 
+def _crawl_reachable_ds(sf_dir: str):
+    from crawler_ray.pipelines.docgraph import crawl_reachable_dataset
+    return crawl_reachable_dataset(sf_dir)
+
+
 def _doc_summary(sf_dir: str):
     from crawler_ray.functions.metadata import summary_batch
     return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -188,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the crawl engine itself (frontier/seen/politeness + byte-
         # identical extraction), BFS-checked by a recursive CTE
         "crawl_reachable": _crawl_reachable,
+        # the same reachability crawl expressed purely in the Dataset
+        # API (Dataset.join inner + left_anti per BFS level)
+        "crawl_reachable_ds": _crawl_reachable_ds,
     }
 
 
@@ -237,4 +245,5 @@ WITH q AS (
 SELECT query_id, neighbor_id FROM r WHERE rk <= {KNN_K}
 """,
         "crawl_reachable": CRAWL_REACHABLE_SQL,
+        "crawl_reachable_ds": CRAWL_REACHABLE_SQL,
     }

@@ -146,3 +146,79 @@ def crawl_reachable(sf_dir: str, scratch_root: str = "/tmp/crawler_ray_docgraph"
               out, CrawlConfig())
     return (ray.data.read_parquet(os.path.join(out, "parsed"))
             .select_columns(["url", "text"]))
+
+
+def crawl_reachable_dataset(sf_dir: str,
+                            scratch_root: str = "/tmp/crawler_ray_docgraph"
+                            ) -> "ray.data.Dataset":
+    """The same reachability crawl expressed PURELY in the Dataset API
+    — no custom actors: per BFS level, the frontier inner-joins the
+    parsed page table (fetch-as-join J5 via ``Dataset.join``), link
+    candidates explode and dedup, and a ``left_anti`` join against the
+    accumulated seen set admits only new URLs (J6). Politeness/priority
+    need the stateful engine; plain reachability does not — this is
+    the "composition of map_batches + joins" tier of the custom-
+    operator ladder, checked by the same recursive-CTE oracle as
+    :func:`crawl_reachable`.
+
+    Each level materializes (iterative lineage would otherwise be
+    re-executed); the whole loop moves only (url) keys + per-level
+    fetched rows."""
+    import pyarrow.compute as pc_
+
+    from crawler_ray.stages.parse import ParseStage
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    site = build_site(sf_dir, os.path.join(scratch_root, f"site_{tag}"))
+
+    # parse the whole corpus ONCE (streaming map_batches), split into
+    # two flat tables: (url, text) and the exploded edge list
+    # (url, link) — joins cannot carry list columns
+    parsed = (ray.data.read_parquet(os.path.join(site, "pages.parquet"),
+                                    columns=["url", "html"])
+              .map_batches(ParseStage, batch_format="pyarrow",
+                           concurrency=(1, 4)))
+    page_text = parsed.map_batches(
+        lambda b: b.select(["url", "text"]),
+        batch_format="pyarrow").materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lengths = pc_.list_value_length(batch["link_url"]).to_numpy(
+            zero_copy_only=False)
+        import numpy as np
+        src = batch["url"].take(pa.array(
+            np.repeat(np.arange(batch.num_rows), lengths)))
+        return pa.table({"url": src,
+                         "link": pc_.list_flatten(batch["link_url"])})
+
+    edges = parsed.map_batches(explode, batch_format="pyarrow")                   .materialize()
+
+    seeds = ray.data.read_parquet(os.path.join(site, "seeds.parquet"),
+                                  columns=["url"]).materialize()
+    seen = seeds
+    frontier = seeds
+    while True:
+        # num_partitions=1: the per-level key sets are small, and the
+        # hash-join finalizer rejects empty per-partition blocks
+        hops = frontier.join(edges, "inner", num_partitions=1,
+                             on=("url",)).materialize()
+        if hops.count() == 0:
+            break
+        # per-level dedup: project to keys, collapse to one block,
+        # drop_duplicates — cheaper than a groupby shuffle at
+        # per-level key volumes (scale path: groupby(url).first)
+        cand = (hops.map_batches(
+                    lambda b: pa.table({"url": b["link"]}),
+                    batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(lambda df: df.drop_duplicates("url"),
+                             batch_format="pandas"))
+        new = cand.join(seen, "left_anti", num_partitions=1,
+                        on=("url",)).materialize()
+        if new.count() == 0:
+            break
+        seen = seen.union(new).materialize()
+        frontier = new
+
+    return (seen.join(page_text, "inner", num_partitions=1, on=("url",))
+            .select_columns(["url", "text"]))
