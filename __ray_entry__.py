@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_summary": _doc_summary,
         "doc_clusters": _doc_clusters,
         "events_props": A.events_props_query,
+        "supplier_region": A.supplier_region_query,
+        "parts_by_brand": A.parts_by_brand_query,
         "doc_stats": A.doc_stats_query,
         "doc_tokens": A.doc_tokens_query,
         "doc_quality": A.doc_quality_query,
@@ -207,6 +209,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": A.DOC_KEYWORDS_SQL,
         "doc_enrich": A.DOC_ENRICH_SQL,
         "events_props": A.EVENTS_PROPS_SQL,
+        "supplier_region": A.SUPPLIER_REGION_SQL,
+        "parts_by_brand": A.PARTS_BY_BRAND_SQL,
         "revenue_by_nation": A.REVENUE_NATION_SQL,
         "top_parts_by_revenue": A.TOP_PARTS_SQL,
         "events_hourly": A.EVENTS_HOURLY_SQL,

@@ -651,3 +651,91 @@ def doc_enrich_query(sf_dir: str) -> "ray.data.Dataset":
 
     return (_read(sf_dir, "documents", columns=["doc_id", "text"])
             .map_batches(fn, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# supplier balances by region — three-level dimension broadcast chain
+# (supplier→nation→region, J1/J2 pattern over the remaining dims)
+# --------------------------------------------------------------------------
+
+SUPPLIER_REGION_SQL = """
+SELECT r_name AS region,
+  count(*) AS n_suppliers,
+  sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) / 100.0 AS total_balance,
+  (sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) / 100.0) / count(*)
+    AS avg_balance
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def supplier_region_query(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    nation_to_region = {n: rmap[k] for n, k in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist())}
+    lookup = ray.put(nation_to_region)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(lookup)
+        df = pd.DataFrame({
+            "region": [m[k] for k in batch["s_nationkey"].to_pylist()],
+            "bal_c": _cents(batch["s_acctbal"].to_numpy(zero_copy_only=False),
+                            100),
+            "n": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby("region", as_index=False).sum(), preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        bal = np.int64(g["bal_c"].sum())
+        n = np.int64(g["n"].sum())
+        return pd.DataFrame({
+            "region": [g["region"].iloc[0]],
+            "n_suppliers": [n],
+            "total_balance": [bal / 100.0],
+            "avg_balance": [(bal / 100.0) / n],
+        })
+
+    return (_read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("region").map_groups(final, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# part catalog rollup — string ops + grouped stats over part attributes
+# --------------------------------------------------------------------------
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand,
+  count(*) AS n_parts,
+  count(DISTINCT p_type) AS n_types,
+  min(p_size) AS min_size, max(p_size) AS max_size,
+  sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+FROM part GROUP BY p_brand
+"""
+
+
+def parts_by_brand_query(sf_dir: str) -> "ray.data.Dataset":
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iloc[0]],
+            "n_parts": [np.int64(len(g))],
+            "n_types": [np.int64(g["p_type"].nunique())],
+            "min_size": [g["p_size"].min()],
+            "max_size": [g["p_size"].max()],
+            "total_price": [np.int64(_cents(
+                g["p_retailprice"].to_numpy(), 100).sum()) / 100.0],
+        })
+
+    # exact count-distinct per group needs raw rows in the group (part
+    # is a dimension table — small; HLL partials would be the scale path)
+    return (_read(sf_dir, "part",
+                  columns=["p_brand", "p_type", "p_size", "p_retailprice"])
+            .groupby("p_brand").map_groups(final, batch_format="pandas"))
