@@ -20,6 +20,7 @@ positives, the bloom layer only pre-filters — see state/seen.py).
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import urlsplit, urlunsplit, urljoin
 
 __all__ = [
@@ -33,6 +34,14 @@ __all__ = [
 
 _DEFAULT_PORTS = {"http": ":80", "https": ":443"}
 
+# URLs already in canonical form (lowercase scheme+host, no port, no
+# query/fragment, non-empty path not ending in '/') — the overwhelming
+# majority in the hot path — are returned untouched without paying
+# urllib's general-purpose split/unsplit (~10 µs/url). The slow path
+# below is the definition; the regex only matches inputs on which the
+# slow path is provably the identity.
+_FAST_CANON = re.compile(r"^(https?)://([a-z0-9.\-]+)(/[^?#\s]*[^/?#\s])$")
+
 
 def canonicalize(url: str) -> str:
     """Canonical form: lowercase scheme+host, strip default port,
@@ -40,6 +49,8 @@ def canonicalize(url: str) -> str:
     on non-root paths, keep query as-is (order is meaningful for the
     synthetic corpus).
     """
+    if _FAST_CANON.match(url):
+        return url
     parts = urlsplit(url.strip())
     scheme = parts.scheme.lower()
     netloc = parts.netloc.lower()
@@ -72,11 +83,17 @@ def hash64_many(urls) -> list[int]:
 
 
 def host_of(url: str) -> str:
+    m = _FAST_CANON.match(url)
+    if m:
+        return m.group(2)
     return urlsplit(url).netloc.lower()
 
 
 def path_of(url: str) -> str:
     """Path component (robots prefix rules match on this)."""
+    m = _FAST_CANON.match(url)
+    if m:
+        return m.group(3)
     return urlsplit(url).path or "/"
 
 
@@ -84,5 +101,13 @@ def join_url(base: str, href: str) -> str:
     """Resolve a (possibly relative) href against the page URL —
     the explicit version of the reference's ad-hoc ``host + href``
     concatenation (``austria/__init__.py:104-113``,
-    ``edpb/__init__.py:153-161``)."""
+    ``edpb/__init__.py:153-161``). Fast paths (absolute href,
+    root-relative href) skip urllib's general resolution; both reduce
+    to the same result by RFC 3986 §5.2."""
+    if href.startswith("https://") or href.startswith("http://"):
+        return href
+    if href.startswith("/") and not href.startswith("//"):
+        cut = base.find("/", base.find("://") + 3)
+        root = base if cut == -1 else base[:cut]
+        return root + href
     return urljoin(base, href)

@@ -53,3 +53,64 @@ def test_garbage_tolerance():
     assert parse_page(b"<div><<<&&& \xff broken").kind == "other"
     assert parse_page(b"<div class='content'>x<p class=>y</div>").text in (
         "x\ny", "x y", "x", "xy")  # malformed attrs: no crash is the contract
+
+
+def test_fast_scanner_equals_stdlib():
+    """Differential: the fast one-pass scanner must produce EXACTLY
+    the stdlib html.parser result (or fall back to it) on fixture
+    pages and adversarial inputs."""
+    from crawler_ray.extract import _Extractor, _fast_feed, _NeedsFallback
+    from crawler_ray.fixtures import generate
+
+    def stdlib_result(s):
+        p = _Extractor()
+        p.feed(s)
+        p._flush_line()
+        return (p.lines, p.results, p.next_href, p.out_links)
+
+    def fast_result(s):
+        p = _Extractor()
+        try:
+            _fast_feed(p, s)
+        except _NeedsFallback:
+            return None
+        p._flush_line()
+        return (p.lines, p.results, p.next_href, p.out_links)
+
+    web = generate("t1")
+    pages = web.pages_table()
+    n_fast = 0
+    for html in pages["html"].to_pylist():
+        if not html or not html.lstrip()[:1] == b"<":
+            continue
+        s = html.decode("utf-8", errors="replace")
+        fast = fast_result(s)
+        if fast is not None:
+            n_fast += 1
+            assert fast == stdlib_result(s)
+    assert n_fast > 1000                       # fast path actually used
+
+    cases = [
+        '<div class="content">a &amp; b &lt;c&gt;</div>',
+        '<div class="content"><p>x<br>y<br/>z</p></div>',
+        '<div class="content"><p class=bare x>text</p></div>',
+        "<div class='content'><a class='next' href='/n?a=1&amp;b=2'>m</a></div>",
+        '<!DOCTYPE html><!-- c --><div class="content">t</div>',
+        '<div class="content">unclosed <b>tag',
+        '<div class="content"></span>stray end</div>',
+        '<div class="content"><li class="result">'
+        '<a class="doclink" href="/d">T</a>'
+        '<span class="date">1.2.2021</span></li></div>',
+        '<div class="content"><img src="x"><p>after void</p></div>',
+        '<div class="content">é unicode &euro;</div>',
+        '<div class="content"><A CLASS="OUTLINK" HREF="/up">x</A></div>',
+        '<div class="content"><p a="1" a="2">dup attr</p></div>',
+    ]
+    for s in cases:
+        fast = fast_result(s)
+        if fast is not None:
+            assert fast == stdlib_result(s), s
+
+    # constructs the scanner must refuse (fallback, not wrong answers)
+    assert fast_result('<script>if (a<b) x()</script>') is None
+    assert fast_result('<div>< notatag</div>') is None

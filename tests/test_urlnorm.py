@@ -41,3 +41,46 @@ def test_join_url():
 
 def test_host_of():
     assert host_of("https://Host.X/path") == "host.x"
+
+
+def test_fast_paths_equal_urllib():
+    """The fast paths must be EXACTLY the slow/urllib results."""
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    from crawler_ray.urlnorm import (canonicalize, host_of, join_url,
+                                     path_of)
+
+    def slow_canon(url):
+        parts = urlsplit(url.strip())
+        scheme = parts.scheme.lower()
+        netloc = parts.netloc.lower()
+        dp = {"http": ":80", "https": ":443"}.get(scheme)
+        if dp and netloc.endswith(dp):
+            netloc = netloc[: -len(dp)]
+        path = parts.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path.rstrip("/") or "/"
+        return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+    urls = [
+        "https://host000.example.org/doc/123",
+        "https://h.example/list/0",
+        "http://a.b/x-y_z.%20q",
+        "HTTPS://UP.example/Path/",          # slow path cases
+        "https://h.example:443/x",
+        "https://h.example",
+        "https://h.example/a?b=c#frag",
+        "https://h.example/a/b/",
+        " https://h.example/sp ",
+    ]
+    for u in urls:
+        assert canonicalize(u) == slow_canon(u), u
+        assert host_of(u) == urlsplit(u).netloc.lower(), u
+        assert path_of(u) == (urlsplit(u).path or "/"), u
+
+    bases = ["https://h.example/list/3", "http://x.y/a/b"]
+    hrefs = ["https://other.example/d", "http://other/p", "/doc/9",
+             "doc/9", "../up", "//proto.rel/x", "?q=1", "#f"]
+    for b in bases:
+        for h in hrefs:
+            assert join_url(b, h) == urljoin(b, h), (b, h)
