@@ -41,7 +41,8 @@ CRAWL_TIERS = {
     # tier -> (politeness round_ms, cap): permissive budgets so the
     # bench measures engine throughput, not the (logical) politeness
     # wait; correctness tests use binding budgets instead.
-    "bench": dict(round_ms=3_600_000, politeness_cap=100_000),
+    "bench": dict(round_ms=3_600_000, politeness_cap=100_000,
+              pipeline_depth=2),
     "scale": dict(round_ms=36_000_000, politeness_cap=50_000,
                   seen_capacity_per_shard=2_000_000),
     "t1": dict(round_ms=60_000, politeness_cap=10_000),
