@@ -198,23 +198,18 @@ def crawl_reachable_dataset(sf_dir: str,
     seen = seeds
     frontier = seeds
     while True:
-        # num_partitions=1: the per-level key sets are small, and the
-        # hash-join finalizer rejects empty per-partition blocks
-        hops = frontier.join(edges, "inner", num_partitions=1,
-                             on=("url",)).materialize()
-        if hops.count() == 0:
-            break
-        # per-level dedup: project to keys, collapse to one block,
-        # drop_duplicates — cheaper than a groupby shuffle at
-        # per-level key volumes (scale path: groupby(url).first)
-        cand = (hops.map_batches(
-                    lambda b: pa.table({"url": b["link"]}),
-                    batch_format="pyarrow")
-                .repartition(1)
-                .map_batches(lambda df: df.drop_duplicates("url"),
-                             batch_format="pandas"))
-        new = cand.join(seen, "left_anti", num_partitions=1,
-                        on=("url",)).materialize()
+        # ONE materialize per level: hop → project → dedup → anti-join
+        # in a single lineage. num_partitions=1 because per-level key
+        # sets are small and the hash-join finalizer rejects empty
+        # per-partition blocks (empty frontier surfaces as 0 new rows).
+        new = (frontier.join(edges, "inner", num_partitions=1, on=("url",))
+               .map_batches(lambda b: pa.table({"url": b["link"]}),
+                            batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(lambda df: df.drop_duplicates("url"),
+                            batch_format="pandas")
+               .join(seen, "left_anti", num_partitions=1, on=("url",))
+               .materialize())
         if new.count() == 0:
             break
         seen = seen.union(new).materialize()

@@ -41,3 +41,34 @@ def test_streaming_extract_corpus(ray_session, fixture_t0):
     docs = extracted_docs(f"{fixture_t0}/pages.parquet").to_pandas()
     assert (docs["title"].str.len() > 0).all()
     assert docs["doc_key"].notna().all()
+
+
+def test_conformance_report(ray_session, fixture_t0, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.conformance import conformance_report
+
+    report, issues = conformance_report(f"{fixture_t0}/pages.parquet",
+                                        f"{fixture_t0}/seeds.parquet")
+    assert (report["status"] == "WHITE").all()      # healthy fixture
+    assert not issues
+
+    # corrupt one host: strip the content containers → BLACK
+    t = pq.read_table(f"{fixture_t0}/pages.parquet")
+    hosts = [u.split("/")[2] for u in t["url"].to_pylist()]
+    bad_host = report["host"].iloc[0]
+    htmls = [
+        (h.replace(b'class="content"', b'class="nope"')
+         if host == bad_host else h)
+        for h, host in zip(t["html"].to_pylist(), hosts)]
+    broken = t.set_column(t.schema.get_field_index("html"), "html",
+                          pa.array(htmls, pa.binary()))
+    pq.write_table(broken, str(tmp_path / "pages.parquet"))
+    report2, issues2 = conformance_report(str(tmp_path / "pages.parquet"),
+                                          f"{fixture_t0}/seeds.parquet")
+    st = report2.set_index("host")["status"]
+    assert st[bad_host] == "BLACK"
+    assert (st.drop(bad_host) == "WHITE").all()
+    assert bad_host in issues2
+    assert "Source structure check failed" in issues2[bad_host]
