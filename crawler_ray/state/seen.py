@@ -92,12 +92,14 @@ class SeenShard:
         """Buffer candidates under their discovery wave. Offers for a
         wave are complete before its ``commit_wave`` is dispatched
         (the driver barriers on the wave's fetch+parse first), so
-        commits are deterministic under pipelining."""
-        import pickle
-        if isinstance(table, (bytes, bytearray)):
-            table = pickle.loads(table)
+        commits are deterministic under pipelining.
+
+        Blobs are buffered RAW and unpacked at commit: the ack must
+        return in microseconds — parse tasks block on it while holding
+        a CPU slot, and a burst of offers against a busy shard would
+        otherwise stall the whole task pool."""
         self._pending.setdefault(wave, []).append(table)
-        return table.num_rows
+        return 0
 
     def commit_wave(self, wave: int = 0, visible_from: int = 0) -> int:
         """Dedup → robots → membership probe → admit → push admitted
@@ -124,10 +126,13 @@ class SeenShard:
         return t.num_rows
 
     def _commit(self, wave: int) -> pa.Table | None:
+        import pickle
         pending = self._pending.pop(wave, None)
         if not pending:
             return None
-        t = pa.concat_tables(pending)
+        tables = [pickle.loads(b) if isinstance(b, (bytes, bytearray)) else b
+                  for b in pending]
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         # rule 6: keep the smallest (depth, parent_order, dom_idx) per url_hash
         order = pc.sort_indices(t, sort_keys=[("url_hash", "ascending"),
                                               ("depth", "ascending"),
