@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": A.events_props_query,
         "supplier_region": A.supplier_region_query,
         "parts_by_brand": A.parts_by_brand_query,
+        "asof_signup": A.asof_signup_query,
+        "sliding_avg": A.sliding_avg_query,
         "doc_stats": A.doc_stats_query,
         "doc_tokens": A.doc_tokens_query,
         "doc_quality": A.doc_quality_query,
@@ -211,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props": A.EVENTS_PROPS_SQL,
         "supplier_region": A.SUPPLIER_REGION_SQL,
         "parts_by_brand": A.PARTS_BY_BRAND_SQL,
+        "asof_signup": A.ASOF_SIGNUP_SQL,
+        "sliding_avg": A.SLIDING_AVG_SQL,
         "revenue_by_nation": A.REVENUE_NATION_SQL,
         "top_parts_by_revenue": A.TOP_PARTS_SQL,
         "events_hourly": A.EVENTS_HOURLY_SQL,

@@ -739,3 +739,75 @@ def parts_by_brand_query(sf_dir: str) -> "ray.data.Dataset":
     return (_read(sf_dir, "part",
                   columns=["p_brand", "p_type", "p_size", "p_retailprice"])
             .groupby("p_brand").map_groups(final, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# as-of join (custom operator the Dataset API lacks): for each event,
+# the most recent prior signup of the same user — keyed shuffle +
+# in-group ordered scan (SURVEY custom-operator ladder tier (a))
+# --------------------------------------------------------------------------
+
+ASOF_SIGNUP_SQL = """
+SELECT event_id,
+  CAST(epoch_us(max(CASE WHEN event_type = 'signup' THEN ts END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS last_signup_us
+FROM events
+"""
+
+
+def asof_signup_query(sf_dir: str) -> "ray.data.Dataset":
+    """Per event: timestamp (µs) of the latest signup at-or-before it
+    for the same user (NULL before the first signup). Partition by
+    user, sort in group, cumulative max over the signup subsequence —
+    the as-of-join recipe that composes from groupby + map_groups."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        # ts ascending ⇒ the latest prior signup is a forward-fill
+        sign = ts_us.where(g["event_type"] == "signup")
+        last = sign.ffill()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "last_signup_us": last.astype("Int64").to_numpy(),
+        })
+
+    return (_read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                             "event_type"])
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# sliding-window aggregate: 7-event moving average of value per user
+# --------------------------------------------------------------------------
+
+SLIDING_AVG_SQL = """
+SELECT event_id,
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS window_sum_c,
+  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS window_n
+FROM events
+"""
+
+
+def sliding_avg_query(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user 7-event sliding sum/count over the ordered stream
+    (integer cents so the distributed result hash-equals SQL)."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = pd.Series(_cents(g["value"].to_numpy(), 100))
+        roll = cents.rolling(7, min_periods=1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "window_sum_c": roll.sum().astype("int64").to_numpy(),
+            "window_n": roll.count().astype("int64").to_numpy(),
+        })
+
+    return (_read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                             "value"])
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
