@@ -51,27 +51,31 @@ __all__ = [
 def _md5_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
             for t in batch[text_col].to_pylist()]
+    coarse = np.array([int(m[:4], 16) % _N_COARSE for m in md5s],
+                      dtype=np.int64)
     return pa.table({
         "content_md5": pa.array(md5s, pa.string()),
         id_col: batch[id_col],
+        "coarse": pa.array(coarse),
     })
 
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                 id_col: str = "doc_id") -> "ray.data.Dataset":
     """Hash-partitioned exact dedup: per content hash keep the minimum
-    id and count the duplicates. One groupby shuffle keyed by the
-    128-bit content hash (uniform — no skew beyond true dup clusters)."""
+    id and count the duplicates. The shuffle is keyed by a coarse
+    prefix of the content hash (uniform); the per-hash reduce runs as
+    one C-speed pandas groupby inside each coarse group instead of a
+    per-group Python call (the ds.stats() singleton-group lesson)."""
     def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "content_md5": [g["content_md5"].iloc[0]],
-            "keep_id": [g[id_col].min()],
-            "n_dups": [np.int64(len(g))],
-        })
+        out = g.groupby("content_md5", as_index=False).agg(
+            keep_id=(id_col, "min"), n_dups=(id_col, "size"))
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
 
     return (ds.map_batches(_md5_batch, batch_format="pyarrow",
                            fn_kwargs={"text_col": text_col, "id_col": id_col})
-              .groupby("content_md5")
+              .groupby("coarse")
               .map_groups(reduce_group, batch_format="pandas"))
 
 
@@ -81,6 +85,19 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 _MIX_A = 0x9E3779B97F4A7C15
 _MIX_B = 0xBF58476D1CE4E5B9
+_N_COARSE = 64      # coarse shuffle groups for bucket/pair stages
+
+
+def _pair_coarse(df: pd.DataFrame) -> pd.DataFrame:
+    """Coarse shuffle key for (a_id, b_id) pair dedup — identical
+    pairs always land in the same group."""
+    a = df["a_id"].to_numpy().astype(np.uint64)
+    b = df["b_id"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (a * np.uint64(_MIX_A) ^ b * np.uint64(_MIX_B))
+    out = df.copy()
+    out["pair_coarse"] = (h % np.uint64(_N_COARSE)).astype(np.int64)
+    return out
 
 
 def _perm_params(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -161,18 +178,45 @@ def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int,
 
 def _bucket_pairs(g: pd.DataFrame, *, id_col: str,
                   max_bucket: int) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (ids only). Oversized
-    buckets collapse to a star around the min id instead of O(g²)."""
-    empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
-                          "b_id": pd.Series([], dtype="int64")})
-    ids = np.sort(g[id_col].to_numpy())
-    if len(ids) < 2:
-        return empty
-    if len(ids) > max_bucket:
-        return pd.DataFrame({"a_id": np.repeat(ids[0], len(ids) - 1),
-                             "b_id": ids[1:]})
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a_id": ids[ii], "b_id": ids[jj]})
+    """Candidate pairs within one COARSE group of LSH buckets.
+
+    Grouping by the full band_key would invoke this once per bucket —
+    at mostly-singleton buckets the per-group pandas overhead dwarfs
+    the work (`ds.stats()` showed 94 s of 0-pair groups at sf0.1).
+    Instead the shuffle key is ``band_key % N_COARSE`` and this body
+    sorts its group once and walks only the equal-band-key runs
+    (collisions — rare) in Python. Oversized buckets collapse to a
+    star around the min id instead of O(g²)."""
+    keys = g["band_key"].to_numpy()
+    ids = g[id_col].to_numpy()
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    runs = np.flatnonzero(keys[1:] == keys[:-1])
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    i = 0
+    n = len(keys)
+    # positions where a run of equal keys starts
+    starts = np.flatnonzero(np.concatenate(
+        ([True], keys[1:] != keys[:-1])))
+    stops = np.concatenate((starts[1:], [n]))
+    for lo, hi in zip(starts, stops):
+        k = hi - lo
+        if k < 2:
+            continue
+        bucket = ids[lo:hi]
+        if k > max_bucket:
+            a_out.append(np.repeat(bucket[0], k - 1))
+            b_out.append(bucket[1:])
+        else:
+            ii, jj = np.triu_indices(k, k=1)
+            a_out.append(bucket[ii])
+            b_out.append(bucket[jj])
+    if not a_out:
+        return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                             "b_id": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"a_id": np.concatenate(a_out),
+                         "b_id": np.concatenate(b_out)})
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
@@ -192,19 +236,27 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
                              "n_perms": n_perms, "k": k, "seed": seed,
                              "text_col": text_col, "id_col": id_col},
                          concurrency=(1, 8)).materialize()
-    bands = sig.map_batches(_band_rows, batch_format="pyarrow",
-                            fn_kwargs={"n_bands": n_bands,
-                                       "rows_per_band": rows_per_band,
-                                       "id_col": id_col})
-    pairs = bands.groupby("band_key").map_groups(
+
+    def band_rows_coarse(batch: pa.Table) -> pa.Table:
+        t = _band_rows(batch, n_bands, rows_per_band, id_col)
+        coarse = (t["band_key"].to_numpy(zero_copy_only=False)
+                  % np.uint64(_N_COARSE)).astype(np.int64)
+        return t.append_column("coarse", pa.array(coarse))
+
+    bands = sig.map_batches(band_rows_coarse, batch_format="pyarrow")
+    # shuffle key = coarse bucket-hash group (64 groups), NOT the raw
+    # band_key: per-group callable overhead at mostly-singleton
+    # buckets dominated the stage otherwise (ds.stats() evidence)
+    pairs = bands.groupby("coarse").map_groups(
         _bucket_pairs, batch_format="pandas",
         fn_kwargs={"id_col": id_col, "max_bucket": max_bucket})
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a_id", "b_id"])[["a_id", "b_id"]]
 
-    uniq = pairs.groupby(["a_id", "b_id"]).map_groups(
-        dedup_pair, batch_format="pandas")
+    uniq = pairs.map_batches(_pair_coarse, batch_format="pandas") \
+                .groupby("pair_coarse") \
+                .map_groups(dedup_pairs_group, batch_format="pandas")
 
     # broadcast signatures for the verify stage
     sig_ids, sig_mat = [], []
@@ -299,39 +351,58 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
             "chunk_key": pa.array(keys, pa.uint64()),
             id_col: pa.array(np.repeat(ids, 4)),
             "simhash": pa.array(np.repeat(sig, 4), pa.uint64()),
+            "coarse": pa.array((keys % np.uint64(_N_COARSE))
+                               .astype(np.int64)),
         })
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        """One coarse group: walk equal-chunk-key runs, exact Hamming
+        within each (same singleton-group-overhead fix as MinHash)."""
         empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
                               "b_id": pd.Series([], dtype="int64"),
                               "hamming": pd.Series([], dtype="int64")})
+        keys = g["chunk_key"].to_numpy()
         ids = g[id_col].to_numpy()
-        if len(ids) < 2:
+        sig = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids, sig = keys[order], ids[order], sig[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], keys[1:] != keys[:-1])))
+        stops = np.concatenate((starts[1:], [len(keys)]))
+        a_out, b_out, h_out = [], [], []
+        for lo, hi in zip(starts, stops):
+            k = min(hi - lo, max_bucket)
+            if k < 2:
+                continue
+            bid, bsig = ids[lo:lo + k], sig[lo:lo + k]
+            ii, jj = np.triu_indices(k, k=1)
+            x = bsig[ii] ^ bsig[jj]
+            ham = np.array([int(v).bit_count() for v in x], dtype=np.int64)
+            keep = ham <= max_hamming
+            if keep.any():
+                a_out.append(bid[ii[keep]])
+                b_out.append(bid[jj[keep]])
+                h_out.append(ham[keep])
+        if not a_out:
             return empty
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order][:max_bucket]
-        sig = g["simhash"].to_numpy()[order][:max_bucket].astype(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = sig[ii] ^ sig[jj]
-        ham = np.array([int(v).bit_count() for v in x], dtype=np.int64)
-        keep = ham <= max_hamming
-        if not keep.any():
-            return empty
-        return pd.DataFrame({"a_id": ids[ii[keep]], "b_id": ids[jj[keep]],
-                             "hamming": ham[keep]})
+        return pd.DataFrame({"a_id": np.concatenate(a_out),
+                             "b_id": np.concatenate(b_out),
+                             "hamming": np.concatenate(h_out)})
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a_id", "b_id"])[
+            ["a_id", "b_id", "hamming"]]
 
     return (ds.map_batches(SimHashStage, batch_format="pyarrow",
                            fn_constructor_kwargs={"text_col": text_col,
                                                   "id_col": id_col},
                            concurrency=(1, 8))
               .map_batches(chunk_rows, batch_format="pyarrow")
-              .groupby("chunk_key")
+              .groupby("coarse")
               .map_groups(verify, batch_format="pandas")
-              .groupby(["a_id", "b_id"])
-              .map_groups(dedup_pair, batch_format="pandas"))
+              .map_batches(_pair_coarse, batch_format="pandas")
+              .groupby("pair_coarse")
+              .map_groups(dedup_pairs_group, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------

@@ -410,22 +410,21 @@ def stopwords_by_source(sf_dir: str, top_n: int = STOPWORDS_TOP_N
             "term_count": pa.array([v for _, v in items], pa.int64()),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"source": [g["source"].iloc[0]],
-                             "term": [g["term"].iloc[0]],
-                             "term_count": [np.int64(g["term_count"].sum())]})
-
-    def topn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["term_count", "term"], ascending=[False, True],
+    def merge_and_topn(g: pd.DataFrame) -> pd.DataFrame:
+        # per-source group: one C-speed pandas merge of the per-block
+        # partials, then the local top-n (shuffle key = source only —
+        # a (source, term) groupby would invoke Python per term)
+        m = g.groupby("term", as_index=False)["term_count"].sum()
+        m.insert(0, "source", g["source"].iloc[0])
+        m = m.sort_values(["term_count", "term"], ascending=[False, True],
                           kind="mergesort")
-        return g.head(top_n)
+        m["term_count"] = m["term_count"].astype(np.int64)
+        return m.head(top_n)
 
     return (_read(sf_dir, "documents", columns=["source", "text"])
             .map_batches(partial, batch_format="pyarrow")
-            .groupby(["source", "term"])
-            .map_groups(merge, batch_format="pandas")
             .groupby("source")
-            .map_groups(topn, batch_format="pandas"))
+            .map_groups(merge_and_topn, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------
