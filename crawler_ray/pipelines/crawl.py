@@ -491,17 +491,30 @@ def crawl_log_dataset(out_dir: str) -> "ray.data.Dataset":
 def finalize_docs(out_dir: str, docs_path: str | None = None
                   ) -> "ray.data.Dataset":
     """Dedup emitted docs on the composite key, earliest pop_rank wins
-    (oracle rule 8) — a groupby shuffle keyed by doc_key."""
+    (oracle rule 8) — shuffle keyed by a coarse hash of doc_key, with
+    the per-key idxmin vectorized inside each group (singleton-group
+    map_groups overhead lesson, see dedup.py)."""
+    import hashlib as _hl
+
     import pandas as pd
 
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        coarse = [int(_hl.blake2b(k.encode(), digest_size=2).hexdigest(),
+                      16) % 64
+                  for k in batch["doc_key"].to_pylist()]
+        return batch.append_column("coarse",
+                                   pa.array(coarse, pa.int64()))
+
     def first_by_rank(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "pop_rank")
+        idx = g.groupby("doc_key")["pop_rank"].idxmin()
+        return g.loc[idx].drop(columns=["coarse"])
 
     ds = (parsed_dataset(out_dir)
           .filter(expr="doc_ok == True")
           .select_columns(["doc_key", "doc_hash", "url", "host", "title",
                            "release_date", "lang", "text", "pop_rank"])
-          .groupby("doc_key")
+          .map_batches(add_coarse, batch_format="pyarrow")
+          .groupby("coarse")
           .map_groups(first_by_rank, batch_format="pandas"))
     if docs_path:
         ds.write_parquet(docs_path)
