@@ -210,7 +210,7 @@ def _offer_candidates(cands: pa.Table, seen_shards: list,
                       max_depth: int | None, wave: int = 0) -> None:
     """Route candidates to seen shards by url_hash and block on acks
     (driver-side path, used for seed scheduling; wave-time fan-out
-    happens inside PageStore.fetch_parse)."""
+    happens inside the stateless parse tasks)."""
     if max_depth is not None:
         cands = cands.filter(pc.less_equal(cands["depth"], max_depth))
     if cands.num_rows == 0:
