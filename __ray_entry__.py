@@ -229,6 +229,29 @@ SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
        count(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
+        # exact k=5-byte-shingle Jaccard (texts are ASCII at test sf,
+        # so char substrings == byte shingles; docs shorter than k
+        # contribute their whole text as the single shingle, matching
+        # shingle_hashes_fast's n<k fallback)
+        "dedup_ngram": """
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+                                         i -> substr(text, i, 5))) AS s
+    FROM documents WHERE length(text) >= 5
+    UNION ALL
+    SELECT doc_id, text AS s FROM documents WHERE length(text) BETWEEN 1 AND 4
+  )
+), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ix AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM ix JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+""",
         "dedup_embedding": f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -20,11 +20,17 @@ stateless ``map_batches`` (hash mixers are seeded constants — no model
 state needed); candidate generation is a ``groupby`` shuffle keyed by
 band/chunk value whose fan-in is bounded by ``max_bucket`` (oversized
 buckets are near-identical spam clusters — they are collapsed to a
-star around the min id instead of emitting O(g²) pairs); the exact
-verify runs inside the bucket group so no second join is needed. The
-only broadcast is the embedding matrix in the brute-force variant —
-``ray.put`` once, read per task — with the LSH-bucketed variant as the
-scale path.
+star around the min id instead of emitting O(g²) pairs). Verify
+stages resolve candidate pairs against the signature/shingle/vector
+tables with a distributed hash-join (:func:`_attach_blob`): both
+sides shuffle on ``hash(key) % _N_COARSE`` and a vectorized
+searchsorted lookup attaches the payload inside each group — nothing
+is ever collected to the driver, and the post-candidate stages are
+bounded by pair volume, not corpus volume. Exact embedding dedup
+streams peer blocks from the object store ref-by-ref (O(n²) compute
+is inherent to exact all-pairs at low thresholds; per-task memory is
+two blocks); :func:`embedding_dup_pairs_lsh` is the sub-quadratic
+scale path for high thresholds.
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ from crawler_ray.functions.textops import shingle_hashes_fast
 __all__ = [
     "exact_dedup", "MinHashStage", "minhash_lsh_pairs", "SimHashStage",
     "simhash_pairs", "ngram_jaccard_pairs", "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
 ]
 
 
@@ -100,6 +107,94 @@ def _pair_coarse(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _key_coarse(ids: np.ndarray) -> np.ndarray:
+    """Uniform coarse shuffle group for an int64 id column."""
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(_MIX_A)
+    return (h % np.uint64(_N_COARSE)).astype(np.int64)
+
+
+def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
+                 *, key_col: str, blob_key: str, blob_col: str,
+                 out_col: str, carry_binary: tuple[str, ...] = ()
+                 ) -> "ray.data.Dataset":
+    """Distributed hash-join of a candidate-pair table against an
+    ``(id, blob)`` table — the scale path for every dedup verify
+    stage. Both sides shuffle on ``hash(key) % _N_COARSE``; inside
+    each coarse group one vectorized ``searchsorted`` lookup attaches
+    the blob to the pair rows. Nothing is collected to the driver;
+    shuffle volume = blob table once + pair rows. (Ray's built-in
+    ``Dataset.join`` finalizer rejects empty hash partitions on small
+    inputs — see ``pipelines/docgraph.py`` — so the join is expressed
+    with the repo's coarse-group pattern instead.)
+
+    ``pairs`` must have int64 ``a_id``/``b_id`` plus any
+    ``carry_binary`` binary columns from a previous attach; ``blobs``
+    has ``(blob_key int64, blob_col binary)``, one row per id.
+    """
+    other_id = "b_id" if key_col == "a_id" else "a_id"
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        cols: dict = {
+            key_col: batch[key_col],
+            other_id: batch[other_id],
+        }
+        for c in carry_binary:
+            cols[c] = batch[c]
+        cols["_payload"] = pa.nulls(batch.num_rows, pa.binary())
+        cols["_role"] = pa.array(np.ones(len(k), np.int8))
+        cols["_coarse"] = pa.array(_key_coarse(k))
+        return pa.table(cols)
+
+    def tag_blobs(batch: pa.Table) -> pa.Table:
+        k = batch[blob_key].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        cols: dict = {
+            key_col: batch[blob_key],
+            other_id: pa.nulls(n, pa.int64()),
+        }
+        for c in carry_binary:
+            cols[c] = pa.nulls(n, pa.binary())
+        cols["_payload"] = batch[blob_col].cast(pa.binary())
+        cols["_role"] = pa.array(np.zeros(n, np.int8))
+        cols["_coarse"] = pa.array(_key_coarse(k))
+        return pa.table(cols)
+
+    tagged = (pairs.map_batches(tag_pairs, batch_format="pyarrow")
+              .union(blobs.map_batches(tag_blobs, batch_format="pyarrow")))
+
+    out_cols = ["a_id", "b_id", *carry_binary, out_col]
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        role = g["_role"].to_numpy()
+        bmask = role == 0
+        bkeys = g.loc[bmask, key_col].to_numpy().astype(np.int64)
+        order = np.argsort(bkeys, kind="stable")
+        bkeys = bkeys[order]
+        bvals = g.loc[bmask, "_payload"].to_numpy()[order]
+        p = g[~bmask]
+        if len(p) == 0 or len(bkeys) == 0:
+            return pa.table({
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                **{c: pa.array([], pa.binary())
+                   for c in (*carry_binary, out_col)}})
+        pk = p[key_col].to_numpy().astype(np.int64)
+        idx = np.minimum(np.searchsorted(bkeys, pk), len(bkeys) - 1)
+        ok = bkeys[idx] == pk
+        return pa.table({
+            "a_id": pa.array(p["a_id"].to_numpy()[ok].astype(np.int64)),
+            "b_id": pa.array(p["b_id"].to_numpy()[ok].astype(np.int64)),
+            **{c: pa.array(list(p[c].to_numpy()[ok]), pa.binary())
+               for c in carry_binary},
+            out_col: pa.array(list(bvals[idx[ok]]), pa.binary()),
+        })
+
+    return tagged.groupby("_coarse").map_groups(resolve,
+                                                batch_format="pandas")
+
+
 def _perm_params(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, size=n_perms, dtype=np.uint64) * 2 + 1  # odd
@@ -143,24 +238,34 @@ class MinHashStage:
         texts = batch[self.text_col].to_pylist()
         sigs = np.stack([self.signature(t) for t in texts]) if texts else \
             np.zeros((0, self.n_perms), dtype=np.uint64)
+        # one binary blob per row (n_perms × uint64 little-endian):
+        # blobs survive shuffles/joins that nested list types cannot,
+        # and decode zero-copy with np.frombuffer
         return pa.table({
             self.id_col: batch[self.id_col],
-            "minhash": pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.reshape(-1), pa.uint64()), self.n_perms),
+            "minhash": pa.array([sigs[i].tobytes()
+                                 for i in range(len(texts))], pa.binary()),
         })
+
+
+def _decode_sig_blobs(col, n_perms: int) -> np.ndarray:
+    """(n, n_perms) uint64 matrix from a binary signature column."""
+    blobs = col.to_pylist()
+    if not blobs:
+        return np.zeros((0, n_perms), dtype=np.uint64)
+    return np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(
+        len(blobs), n_perms)
 
 
 def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int,
                id_col: str) -> pa.Table:
     """Explode each signature into one (band_key, id) row per band —
     the LSH shuffle key. Signatures do NOT ride along (they would
-    multiply the shuffle volume ×n_bands); the verify stage reads them
-    from a broadcast instead."""
+    multiply the shuffle volume ×n_bands); the verify stage hash-joins
+    the surviving pairs back against the signature table instead."""
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    flat = batch["minhash"].combine_chunks().flatten().to_numpy(
-        zero_copy_only=False).astype(np.uint64)
     n = len(ids)
-    sigs = flat.reshape(n, n_bands * rows_per_band)
+    sigs = _decode_sig_blobs(batch["minhash"], n_bands * rows_per_band)
     out_key = np.empty(n * n_bands, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for bnd in range(n_bands):
@@ -226,10 +331,10 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
                       max_bucket: int = 512) -> "ray.data.Dataset":
     """Near-duplicate pairs by MinHash+LSH: signature map → (band_key,
     id) explode → ``groupby(band_key)`` shuffle → candidate pairs →
-    global pair dedup → signature-similarity verify against the
-    broadcast signature matrix (``ray.put`` once; the scale path swaps
-    the broadcast for a hash-join of pairs against the signature table
-    — pair volume, not corpus volume, bounds this stage)."""
+    global pair dedup → signature-similarity verify by hash-joining
+    the pairs against the signature table (:func:`_attach_blob`) —
+    pair volume, not corpus volume, bounds the verify, and no state
+    ever passes through the driver."""
     n_perms = n_bands * rows_per_band
     sig = ds.map_batches(MinHashStage, batch_format="pyarrow",
                          fn_constructor_kwargs={
@@ -258,32 +363,27 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
                 .groupby("pair_coarse") \
                 .map_groups(dedup_pairs_group, batch_format="pandas")
 
-    # broadcast signatures for the verify stage
-    sig_ids, sig_mat = [], []
-    for ref in sig.to_arrow_refs():
-        t = ray.get(ref)
-        sig_ids.append(t[id_col].to_numpy(zero_copy_only=False))
-        sig_mat.append(t["minhash"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).astype(np.uint64).reshape(t.num_rows, -1))
-    ids_all = np.concatenate(sig_ids) if sig_ids else np.zeros(0, np.int64)
-    mat_all = np.vstack(sig_mat) if sig_mat else \
-        np.zeros((0, n_perms), np.uint64)
-    order = np.argsort(ids_all, kind="stable")
-    sig_ref = ray.put((ids_all[order], mat_all[order]))
+    # verify: hash-join pairs ⋈ signatures (twice, a- then b-side) —
+    # distributed, pair-volume bounded, zero driver-side state
+    w = _attach_blob(uniq, sig, key_col="a_id", blob_key=id_col,
+                     blob_col="minhash", out_col="_sig_a")
+    w = _attach_blob(w, sig, key_col="b_id", blob_key=id_col,
+                     blob_col="minhash", out_col="_sig_b",
+                     carry_binary=("_sig_a",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        ids_s, mat = ray.get(sig_ref)
-        a = batch["a_id"].to_numpy(zero_copy_only=False)
-        b = batch["b_id"].to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(ids_s, a)
-        ib = np.searchsorted(ids_s, b)
-        est = (mat[ia] == mat[ib]).mean(axis=1)
+        sa = _decode_sig_blobs(batch["_sig_a"], n_perms)
+        sb = _decode_sig_blobs(batch["_sig_b"], n_perms)
+        est = (sa == sb).mean(axis=1) if len(sa) else \
+            np.zeros(0, dtype=np.float64)
         keep = est >= threshold
-        return pa.table({"a_id": pa.array(a[keep]),
-                         "b_id": pa.array(b[keep]),
-                         "est_jaccard": pa.array(est[keep])})
+        return pa.table({
+            "a_id": batch["a_id"].filter(pa.array(keep)),
+            "b_id": batch["b_id"].filter(pa.array(keep)),
+            "est_jaccard": pa.array(est[keep]),
+        })
 
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    return w.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -337,7 +437,9 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                   max_bucket: int = 2048) -> "ray.data.Dataset":
     """Candidate pairs whose simhashes agree on ≥1 of 4 16-bit chunks
     (pigeonhole ⇒ complete for Hamming ≤ 3 when chunks = max_hamming+1),
-    verified by exact Hamming distance in the bucket."""
+    verified by exact Hamming distance in the bucket. Buckets larger
+    than ``max_bucket`` collapse to a star around the min id (connec-
+    tivity preserved, completeness traded for the O(g²) bound)."""
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -371,11 +473,19 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         stops = np.concatenate((starts[1:], [len(keys)]))
         a_out, b_out, h_out = [], [], []
         for lo, hi in zip(starts, stops):
-            k = min(hi - lo, max_bucket)
+            k = hi - lo
             if k < 2:
                 continue
-            bid, bsig = ids[lo:lo + k], sig[lo:lo + k]
-            ii, jj = np.triu_indices(k, k=1)
+            bid, bsig = ids[lo:hi], sig[lo:hi]
+            if k > max_bucket:
+                # oversized bucket (near-identical spam cluster):
+                # collapse to a star around the min id — preserves
+                # cluster connectivity without O(g²) pairs (same rule
+                # as the MinHash _bucket_pairs path)
+                ii = np.zeros(k - 1, dtype=np.int64)
+                jj = np.arange(1, k, dtype=np.int64)
+            else:
+                ii, jj = np.triu_indices(k, k=1)
             x = bsig[ii] ^ bsig[jj]
             ham = np.array([int(v).bit_count() for v in x], dtype=np.int64)
             keep = ham <= max_hamming
@@ -415,100 +525,211 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
                         lsh_threshold: float | None = None
                         ) -> "ray.data.Dataset":
     """Exact k-byte-shingle Jaccard pairs: LSH candidates (recall
-    stage, lower threshold) → exact verify against broadcast shingle
-    sets. The broadcast is the candidate docs' *hash sets* (uint64),
-    put once via ``ray.put``; the scale path replaces the broadcast
-    with a hash-join of pairs against the shingle table on ``a_id`` /
-    ``b_id`` — pair volume, not corpus volume, is the bound here."""
+    stage, lower threshold) → exact verify by hash-joining the pairs
+    against the shingle table (:func:`_attach_blob`, sorted-unique
+    uint64 hash sets as binary blobs) — pair volume, not corpus
+    volume, bounds the verify; no shingle set ever touches the
+    driver."""
     cand = minhash_lsh_pairs(ds, threshold=(lsh_threshold
                                             if lsh_threshold is not None
                                             else max(0.0, threshold - 0.2)),
                              k=k, text_col=text_col, id_col=id_col)
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
         return pa.table({
-            id_col: pa.array(ids),
+            id_col: batch[id_col],
             "shingles": pa.array(
-                [np.unique(shingle_hashes_fast(t or "", k)).tolist()
+                [np.unique(shingle_hashes_fast(t or "", k)).tobytes()
                  for t in batch[text_col].to_pylist()],
-                pa.list_(pa.uint64())),
+                pa.binary()),
         })
 
-    sets_tbl = ds.map_batches(shingle_sets, batch_format="pyarrow") \
-                 .to_arrow_refs()
-    sets: dict[int, np.ndarray] = {}
-    for ref in sets_tbl:
-        t = ray.get(ref)
-        for i, s in zip(t[id_col].to_pylist(), t["shingles"].to_pylist()):
-            sets[i] = np.asarray(s, dtype=np.uint64)
-    sets_ref = ray.put(sets)
+    # materialized once (distributed blocks, spillable): both attach
+    # passes read it without recomputing the shingling
+    sets_ds = ds.map_batches(shingle_sets,
+                             batch_format="pyarrow").materialize()
+    w = _attach_blob(cand, sets_ds, key_col="a_id", blob_key=id_col,
+                     blob_col="shingles", out_col="_sh_a")
+    w = _attach_blob(w, sets_ds, key_col="b_id", blob_key=id_col,
+                     blob_col="shingles", out_col="_sh_b",
+                     carry_binary=("_sh_a",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(sets_ref)
-        a = batch["a_id"].to_pylist()
-        b = batch["b_id"].to_pylist()
-        jac = np.zeros(len(a), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(a, b)):
-            sa, sb = lookup.get(x), lookup.get(y)
-            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+        blobs_a = batch["_sh_a"].to_pylist()
+        blobs_b = batch["_sh_b"].to_pylist()
+        jac = np.zeros(len(blobs_a), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
+            sa = np.frombuffer(ba or b"", dtype=np.uint64)
+            sb = np.frombuffer(bb or b"", dtype=np.uint64)
+            if sa.size == 0 and sb.size == 0:
                 continue
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             jac[i] = inter / union if union else 0.0
-        out = pa.table({"a_id": batch["a_id"], "b_id": batch["b_id"],
-                        "jaccard": pa.array(jac)})
-        return out.filter(pa.array(jac >= threshold))
+        keep = jac >= threshold
+        return pa.table({"a_id": batch["a_id"].filter(pa.array(keep)),
+                         "b_id": batch["b_id"].filter(pa.array(keep)),
+                         "jaccard": pa.array(jac[keep])})
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return w.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 
-def _normalized_matrix(ds: "ray.data.Dataset", vec_col: str,
-                       id_col: str) -> tuple[np.ndarray, np.ndarray]:
-    """Materialize (ids, L2-normalized float64 matrix) — small-side
-    collect for the broadcast; the LSH variant avoids it."""
-    ids_parts, mat_parts = [], []
-    for ref in ds.select_columns([id_col, vec_col]).to_arrow_refs():
-        t = ray.get(ref)
-        ids_parts.append(t[id_col].to_numpy(zero_copy_only=False))
-        flat = t[vec_col].combine_chunks().flatten().to_numpy(
+def _norm_vec_blocks(ds: "ray.data.Dataset", vec_col: str,
+                     id_col: str) -> "ray.data.Dataset":
+    """(id, vec) with the vector L2-normalized and packed as a float64
+    binary blob — the join/shuffle-friendly layout (see MinHash)."""
+    def to_blob(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat = batch[vec_col].combine_chunks().flatten().to_numpy(
             zero_copy_only=False).astype(np.float64)
-        mat_parts.append(flat.reshape(t.num_rows, -1))
-    ids = np.concatenate(ids_parts)
-    mat = np.vstack(mat_parts)
-    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-    norms[norms == 0] = 1.0
-    order = np.argsort(ids, kind="stable")
-    return ids[order], (mat / norms)[order]
+        m = flat.reshape(n, -1) if n else flat.reshape(0, 1)
+        norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        norms[norms == 0] = 1.0
+        m = m / norms
+        return pa.table({
+            id_col: batch[id_col],
+            "vec": pa.array([m[i].tobytes() for i in range(n)],
+                            pa.binary()),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        to_blob, batch_format="pyarrow")
+
+
+def _decode_vec_blobs(col) -> np.ndarray:
+    blobs = col.to_pylist()
+    if not blobs:
+        return np.zeros((0, 1), dtype=np.float64)
+    return np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(
+        len(blobs), -1)
 
 
 def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                         vec_col: str = "embedding", id_col: str = "vec_id"
                         ) -> "ray.data.Dataset":
-    """Near-duplicate pairs by cosine ≥ threshold: block × broadcast
-    matmul inside ``map_batches`` (each task reads the ``ray.put``
-    matrix once from the object store — zero-copy numpy)."""
-    ids, mat = _normalized_matrix(ds, vec_col, id_col)
-    ids_ref, mat_ref = ray.put(ids), ray.put(mat)
+    """EXACT near-duplicate pairs by cosine ≥ threshold, as a
+    distributed block sweep: the normalized corpus is materialized as
+    object-store blocks once, and every ``map_batches`` task streams
+    the peer blocks ref-by-ref (zero-copy reads, one peer block in
+    memory at a time) — no driver-side collect and no full-matrix
+    broadcast object. An id-range check skips peer blocks that cannot
+    contribute an ``a_id < b_id`` pair, halving the matmuls on
+    id-ordered inputs.
+
+    Exact all-pairs is inherently O(n²) compute; it is the correct
+    default at *low* thresholds where hyperplane LSH cannot be
+    recall-complete (cos 0.45 ⇒ ~0.35 disagreement per bit). At high
+    thresholds (≥ ~0.9) use :func:`embedding_dup_pairs_lsh`, the
+    sub-quadratic scale path."""
+    norm = _norm_vec_blocks(ds, vec_col, id_col).materialize()
+    refs = norm.to_arrow_refs()   # refs only — blocks stay put
 
     def block_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, m = ray.get(ids_ref), ray.get(mat_ref)
         bid = batch[id_col].to_numpy(zero_copy_only=False)
-        flat = batch[vec_col].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        q = flat.reshape(len(bid), -1)
-        qn = np.sqrt((q * q).sum(axis=1, keepdims=True))
-        qn[qn == 0] = 1.0
-        sims = (q / qn) @ m.T                      # (block, n_all)
-        keep_r, keep_c = np.nonzero(
-            (sims >= threshold) & (bid[:, None] < all_ids[None, :]))
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if len(bid) == 0:
+            return empty
+        q = _decode_vec_blobs(batch["vec"])
+        lo = bid.min()
+        a_out, b_out = [], []
+        for r in refs:
+            t = ray.get(r)
+            ids2 = t[id_col].to_numpy(zero_copy_only=False)
+            if len(ids2) == 0 or ids2.max() <= lo:
+                continue   # no b_id > any of our a_ids in this block
+            m2 = _decode_vec_blobs(t["vec"])
+            sims = q @ m2.T                     # (batch, peer-block)
+            rr, cc = np.nonzero((sims >= threshold)
+                                & (bid[:, None] < ids2[None, :]))
+            if len(rr):
+                a_out.append(bid[rr])
+                b_out.append(ids2[cc])
+        if not a_out:
+            return empty
+        return pa.table({"a_id": pa.array(np.concatenate(a_out)),
+                         "b_id": pa.array(np.concatenate(b_out))})
+
+    return norm.map_batches(block_pairs, batch_format="pyarrow")
+
+
+def embedding_dup_pairs_lsh(ds: "ray.data.Dataset",
+                            threshold: float = 0.9,
+                            n_planes: int = 16, probe_bits: int = 1,
+                            seed: int = 97, max_bucket: int = 2048,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Sub-quadratic near-dup pairs for HIGH cosine thresholds:
+    seeded hyperplane codes bucket the vectors (each vector is also
+    emitted under every code within Hamming ``probe_bits`` of its own
+    — multiprobe, so vectors whose codes differ by ≤ 2·probe_bits
+    collide), candidate pairs come from the same coarse-group /
+    star-collapse walk as MinHash, and the exact cosine verify
+    hash-joins the pairs against the normalized vector table
+    (:func:`_attach_blob`). Recall < 1 by construction — it bounds
+    candidate volume at 10^10 rows; measure recall against
+    :func:`embedding_dup_pairs` on a sample before trusting a
+    configuration."""
+    from crawler_ray.similarity import hyperplane_codes
+
+    norm = _norm_vec_blocks(ds, vec_col, id_col).materialize()
+    planes_holder: dict = {}
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _decode_vec_blobs(batch["vec"])
+        if "planes" not in planes_holder:
+            rng = np.random.default_rng(seed)
+            planes_holder["planes"] = rng.standard_normal(
+                (n_planes, m.shape[1] if m.size else 1))
+        codes = hyperplane_codes(m, planes_holder["planes"]) if len(ids) \
+            else np.zeros(0, np.uint64)
+        # multiprobe explode: own code + all Hamming-1 codes
+        # (probe_bits supports 0 or 1; radius-r would BFS here)
+        keys = [codes]
+        if probe_bits >= 1:
+            for b in range(n_planes):
+                keys.append(codes ^ np.uint64(1 << b))
+        key = np.concatenate(keys) if len(ids) else codes
+        rep_ids = np.tile(ids, len(keys))
         return pa.table({
-            "a_id": pa.array(bid[keep_r]),
-            "b_id": pa.array(all_ids[keep_c]),
+            "band_key": pa.array(key, pa.uint64()),
+            id_col: pa.array(rep_ids),
+            "coarse": pa.array((key % np.uint64(_N_COARSE))
+                               .astype(np.int64)),
         })
 
-    return ds.map_batches(block_pairs, batch_format="pyarrow")
+    pairs = (norm.map_batches(bucket_rows, batch_format="pyarrow")
+             .groupby("coarse")
+             .map_groups(_bucket_pairs, batch_format="pandas",
+                         fn_kwargs={"id_col": id_col,
+                                    "max_bucket": max_bucket}))
+
+    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a_id", "b_id"])[["a_id", "b_id"]]
+
+    uniq = pairs.map_batches(_pair_coarse, batch_format="pandas") \
+                .groupby("pair_coarse") \
+                .map_groups(dedup_pairs_group, batch_format="pandas")
+
+    w = _attach_blob(uniq, norm, key_col="a_id", blob_key=id_col,
+                     blob_col="vec", out_col="_v_a")
+    w = _attach_blob(w, norm, key_col="b_id", blob_key=id_col,
+                     blob_col="vec", out_col="_v_b",
+                     carry_binary=("_v_a",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        va = _decode_vec_blobs(batch["_v_a"])
+        vb = _decode_vec_blobs(batch["_v_b"])
+        sims = (va * vb).sum(axis=1) if len(va) else \
+            np.zeros(0, dtype=np.float64)
+        keep = sims >= threshold
+        return pa.table({"a_id": batch["a_id"].filter(pa.array(keep)),
+                         "b_id": batch["b_id"].filter(pa.array(keep)),
+                         "cosine": pa.array(sims[keep])})
+
+    return w.map_batches(verify, batch_format="pyarrow")

@@ -67,7 +67,7 @@ Q1_CUTOFF = "1998-12-01"
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
     AS sum_base_price,
   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
@@ -331,7 +331,7 @@ WITH o AS (
 ), c AS (
   SELECT user_id, sess, count(*) AS cnt FROM s GROUP BY user_id, sess
 )
-SELECT user_id, count(*) AS n_sessions, sum(cnt) AS n_events,
+SELECT user_id, count(*) AS n_sessions, CAST(sum(cnt) AS BIGINT) AS n_events,
        max(cnt) AS max_session_events
 FROM c GROUP BY user_id
 """
