@@ -228,7 +228,14 @@ def _fast_feed(p: _Extractor, s: str) -> None:
                 p.handle_starttag(tag, attrs)
         elif end_tag is not None:
             p.handle_endtag(end_tag.lower())
-        # comments / decls / PIs: ignored, same as the stdlib path
+        elif m.group(0).startswith("<!--") \
+                and not m.group(0).endswith("-->"):
+            # unterminated comment: '<![^>]*>' would eat it up to the
+            # first '>' and parse the comment body as live markup,
+            # whereas html.parser swallows it to EOF — divergence,
+            # take the stdlib path
+            raise _NeedsFallback
+        # terminated comments / decls / PIs: ignored, same as stdlib
     if pos != len(s):
         raise _NeedsFallback
 

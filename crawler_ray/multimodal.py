@@ -10,12 +10,13 @@ image/audio/video payloads for training-data pipelines:
   metadata columns (``media_type``, ``n_bytes``, ``sha1``);
 - a **decode/feature stage** shaped exactly like a production one
   (callable class, decoder "loaded" once per actor in ``__init__``,
-  small ``batch_size`` because payloads are large) — the image/audio
-  libraries are not in this container, so the actual decode is gated:
-  if PIL/soundfile import fails the stage uses a deterministic fake
-  decoder (payload-hash-derived dimensions/features) so the Ray-side
-  plumbing (schema, actor signature, batch sizing, output layout) is
-  real and tested;
+  small ``batch_size`` because payloads are large) — when PIL is
+  importable the stage really decodes (dimensions + per-band mean
+  colors, undecodable payloads falling back per-row); the image
+  libraries are absent in this container, so the import-gated
+  fallback is a deterministic fake decoder (payload-hash-derived
+  dimensions/features) keeping the Ray-side plumbing (schema, actor
+  signature, batch sizing, output layout) real and tested;
 - ``frame_sample`` / ``resize_meta`` stubs with the same gating.
 
 Raise ``strict=True`` to get the honest ``NotImplementedError`` when
@@ -94,14 +95,33 @@ class MediaDecodeStage:
                 .astype(np.float64)[:FEATURE_DIM] / 255.0)
         return width, height, feat
 
+    def _pil_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Real decode: dimensions + FEATURE_DIM per-band mean colors
+        (bands cycled/zero-padded to the fixed width). Falls back to
+        the fake decoder for payloads PIL cannot open."""
+        import io
+
+        from PIL import Image
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                width, height = img.size
+                bands = img.split()
+                means = [float(np.asarray(b, dtype=np.float64).mean())
+                         / 255.0 for b in bands]
+        except Exception:
+            return self._fake_decode(payload)
+        feat = np.zeros(FEATURE_DIM, dtype=np.float64)
+        for i in range(min(FEATURE_DIM, len(means))):
+            feat[i] = means[i]
+        return width, height, feat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["media"].to_pylist()
+        decode = self._pil_decode if self.backend == "pil" \
+            else self._fake_decode
         ws, hs, feats = [], [], []
         for p in payloads:
-            p = p or b""
-            if self.backend == "pil":       # pragma: no cover
-                raise NotImplementedError("real decode path needs PIL present")
-            w, ht, f = self._fake_decode(p)
+            w, ht, f = decode(p or b"")
             ws.append(w); hs.append(ht); feats.append(f)
         feat_arr = (np.stack(feats) if feats
                     else np.zeros((0, FEATURE_DIM)))

@@ -58,6 +58,28 @@ def _cents(x: np.ndarray, scale: float) -> np.ndarray:
     return np.round(x * scale).astype(np.int64)
 
 
+_N_KEY_COARSE = 64
+
+
+def _coarse_of(ids: np.ndarray) -> np.ndarray:
+    """64-way coarse shuffle group for an integer key column — the
+    per-key ``map_groups`` fix (one Python call per coarse group, a
+    vectorized equal-key run walk inside, instead of one Python call
+    per key; see ``dedup._bucket_pairs`` / commit 93185a4)."""
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (h % np.uint64(_N_KEY_COARSE)).astype(np.int64)
+
+
+def _user_runs(uid: np.ndarray) -> np.ndarray:
+    """Boolean mask marking the first row of each equal-key run
+    (input must be sorted by the key)."""
+    new = np.ones(len(uid), dtype=bool)
+    if len(uid) > 1:
+        new[1:] = uid[1:] != uid[:-1]
+    return new
+
+
 # --------------------------------------------------------------------------
 # Q1: pricing summary (TPC-H Q1 shape) — partial agg inside map_batches,
 # tiny groupby of partials after (A-series pre-aggregation pattern)
@@ -240,18 +262,23 @@ def top_parts_by_revenue(sf_dir: str) -> pa.Table:
         df = pd.DataFrame({
             "partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
             "rev4": _cents(ext * (1 - disc), 10000)})
-        return pa.Table.from_pandas(
-            df.groupby("partkey", as_index=False).sum(), preserve_index=False)
+        g = df.groupby("partkey", as_index=False).sum()
+        g["_c"] = _coarse_of(g["partkey"].to_numpy())
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"partkey": [g["partkey"].iloc[0]],
-                             "rev4": [np.int64(g["rev4"].sum())],
-                             "neg_rev4": [-np.int64(g["rev4"].sum())]})
+        # one C-speed pandas groupby per coarse group — a raw
+        # groupby(partkey) would pay one Python call per part key
+        # (~200k at sf1; the slowest query in BENCH_r01 for that)
+        out = g.groupby("partkey", as_index=False)["rev4"].sum()
+        out["rev4"] = out["rev4"].astype(np.int64)
+        out["neg_rev4"] = -out["rev4"]
+        return out
 
     top = (_read(sf_dir, "lineitem",
                  columns=["l_partkey", "l_extendedprice", "l_discount"])
            .map_batches(partial, batch_format="pyarrow")
-           .groupby("partkey").map_groups(combine, batch_format="pandas")
+           .groupby("_c").map_groups(combine, batch_format="pandas")
            .sort(["neg_rev4", "partkey"])
            .limit(10)
            .to_pandas())
@@ -282,32 +309,52 @@ FROM events GROUP BY event_type, hour
 
 
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
-    def add_hour(batch: pa.Table) -> pa.Table:
+    """Hourly rollup with exact count-distinct via the two-level
+    distinct pattern: the per-batch partial pre-aggregates to one row
+    per DISTINCT (event_type, hour, user_id) — so the shuffle moves
+    distinct triplets, not raw events — and the final stage merges
+    triplets inside a 64-way coarse group with one C-speed pandas
+    groupby (not one Python call per (type, hour))."""
+    def partial(batch: pa.Table) -> pa.Table:
         hours = pd.Series(batch["ts"].to_pandas()).dt.floor("h") \
                   .dt.strftime("%Y-%m-%d %H:00")
-        return pa.table({
-            "event_type": batch["event_type"],
-            "hour": pa.array(hours, pa.string()),
-            "value_c": pa.array(_cents(
-                batch["value"].to_numpy(zero_copy_only=False), 100)),
-            "user_id": batch["user_id"],
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "hour": hours.to_numpy(),
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "value_c": _cents(
+                batch["value"].to_numpy(zero_copy_only=False), 100),
         })
+        p = df.groupby(["event_type", "hour", "user_id"],
+                       as_index=False).agg(n=("value_c", "size"),
+                                           value_c=("value_c", "sum"))
+        # deterministic vectorized string hash (fixed-key siphash)
+        h = (pd.util.hash_array(p["event_type"].to_numpy(object))
+             ^ pd.util.hash_array(p["hour"].to_numpy(object)))
+        p["_c"] = (h % np.uint64(_N_KEY_COARSE)).astype(np.int64)
+        p["n"] = p["n"].astype(np.int64)
+        return pa.Table.from_pandas(p, preserve_index=False)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["event_type", "hour", "user_id"],
+                      as_index=False).agg(n=("n", "sum"),
+                                          value_c=("value_c", "sum"))
+        out = m.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("n", "sum"), value_c=("value_c", "sum"),
+            n_users=("user_id", "size"))
         return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "hour": [g["hour"].iloc[0]],
-            "n_events": [np.int64(len(g))],
-            "total_value": [np.int64(g["value_c"].sum()) / 100.0],
-            "n_users": [np.int64(g["user_id"].nunique())],
+            "event_type": out["event_type"],
+            "hour": out["hour"],
+            "n_events": out["n_events"].astype(np.int64),
+            "total_value": out["value_c"].to_numpy().astype(np.int64)
+                           / 100.0,
+            "n_users": out["n_users"].astype(np.int64),
         })
 
-    # exact count-distinct requires raw user ids in the group; at 100 TB
-    # the scale path swaps nunique for a mergeable HLL sketch partial
     return (_read(sf_dir, "events",
                   columns=["event_type", "ts", "value", "user_id"])
-            .map_batches(add_hour, batch_format="pyarrow")
-            .groupby(["event_type", "hour"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_c")
             .map_groups(final, batch_format="pandas"))
 
 
@@ -339,27 +386,43 @@ FROM c GROUP BY user_id
 
 def sessionize(sf_dir: str) -> "ray.data.Dataset":
     """Per-user session stats (gap > 30 min ⇒ new session) — the
-    windowed/stateful streaming op, keyed shuffle + in-group sort."""
+    windowed/stateful streaming op. Shuffle key is a 64-way hash of
+    the user (NOT the raw user id: per-user ``map_groups`` costs one
+    Python call per user); inside each coarse group one sort +
+    vectorized run walk computes every user's sessions at C speed."""
     gap = np.timedelta64(SESSION_GAP_MIN * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_c", pa.array(_coarse_of(
+            batch["user_id"].to_numpy(zero_copy_only=False))))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy()
-        brk = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sess = np.cumsum(brk)
-        sizes = pd.Series(sess).groupby(sess).size()
+        n = len(g)
+        new_user = _user_runs(uid)
+        brk = new_user.copy()
+        if n > 1:
+            brk[1:] |= (ts[1:] - ts[:-1]) > gap
+        s_idx = np.flatnonzero(brk)                 # session starts
+        sizes = np.diff(np.append(s_idx, n))        # per-session sizes
+        u_idx = np.flatnonzero(new_user)            # user starts
+        # u_idx ⊆ s_idx (user start always opens a session)
+        sess_start = np.searchsorted(s_idx, u_idx)
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [np.int64(sess[-1])],
-            "n_events": [np.int64(len(g))],
-            "max_session_events": [np.int64(sizes.max())],
+            "user_id": uid[u_idx],
+            "n_sessions": np.diff(np.append(sess_start, len(s_idx)))
+                            .astype(np.int64),
+            "n_events": np.diff(np.append(u_idx, n)).astype(np.int64),
+            "max_session_events": np.maximum.reduceat(sizes, sess_start)
+                                    .astype(np.int64),
         })
 
     return (_read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("_c")
+            .map_groups(per_group, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------
@@ -757,24 +820,40 @@ FROM events
 
 def asof_signup_query(sf_dir: str) -> "ray.data.Dataset":
     """Per event: timestamp (µs) of the latest signup at-or-before it
-    for the same user (NULL before the first signup). Partition by
-    user, sort in group, cumulative max over the signup subsequence —
-    the as-of-join recipe that composes from groupby + map_groups."""
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
-        # ts ascending ⇒ the latest prior signup is a forward-fill
-        sign = ts_us.where(g["event_type"] == "signup")
-        last = sign.ffill()
+    for the same user (NULL before the first signup). 64-way
+    coarse-hash shuffle on user, then one vectorized forward-fill
+    with per-user resets inside each group — the as-of-join recipe
+    without a Python call per user."""
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_c", pa.array(_coarse_of(
+            batch["user_id"].to_numpy(zero_copy_only=False))))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        uid = g["user_id"].to_numpy()
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        is_sign = (g["event_type"] == "signup").to_numpy()
+        pos = np.arange(n)
+        # index of the latest signup at-or-before each row …
+        last_sign = np.maximum.accumulate(np.where(is_sign, pos, -1))
+        # … valid only if it falls inside the row's own user run
+        u_start = np.maximum.accumulate(np.where(_user_runs(uid), pos, 0))
+        valid = last_sign >= u_start
+        vals = pd.array(ts_us[np.maximum(last_sign, 0)], dtype="Int64")
+        vals[~valid] = pd.NA
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
-            "last_signup_us": last.astype("Int64").to_numpy(),
+            # .to_numpy() (object of int/NA) keeps the block layout
+            # identical to the SQL oracle's nullable int64
+            "last_signup_us": vals.to_numpy(),
         })
 
     return (_read(sf_dir, "events", columns=["event_id", "user_id", "ts",
                                              "event_type"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("_c")
+            .map_groups(per_group, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------
@@ -795,18 +874,31 @@ FROM events
 
 def sliding_avg_query(sf_dir: str) -> "ray.data.Dataset":
     """Per-user 7-event sliding sum/count over the ordered stream
-    (integer cents so the distributed result hash-equals SQL)."""
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = pd.Series(_cents(g["value"].to_numpy(), 100))
-        roll = cents.rolling(7, min_periods=1)
+    (integer cents so the distributed result hash-equals SQL).
+    Coarse-hash shuffle on user; inside each group the window is a
+    prefix-sum difference with the window start clamped to the user's
+    run start — fully vectorized, no per-user Python."""
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_c", pa.array(_coarse_of(
+            batch["user_id"].to_numpy(zero_copy_only=False))))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        cents = _cents(g["value"].to_numpy(), 100)
+        pos = np.arange(n)
+        u_start = np.maximum.accumulate(
+            np.where(_user_runs(g["user_id"].to_numpy()), pos, 0))
+        w_start = np.maximum(u_start, pos - 6)
+        cs = np.concatenate(([0], np.cumsum(cents)))
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
-            "window_sum_c": roll.sum().astype("int64").to_numpy(),
-            "window_n": roll.count().astype("int64").to_numpy(),
+            "window_sum_c": (cs[pos + 1] - cs[w_start]).astype(np.int64),
+            "window_n": (pos - w_start + 1).astype(np.int64),
         })
 
     return (_read(sf_dir, "events", columns=["event_id", "user_id", "ts",
                                              "value"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("_c")
+            .map_groups(per_group, batch_format="pandas"))

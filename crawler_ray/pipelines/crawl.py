@@ -99,12 +99,18 @@ class CrawlConfig:
     parse_batch: int = 512             # rows per stateless parse task — the
                                        # work-unit Ray load-balances across
                                        # the cluster (bounds stragglers)
+    registry: dict | None = None       # host → SourceSpec snapshot; None =
+                                       # snapshot the driver's module-level
+                                       # registry at run_crawl() start (the
+                                       # module dict is NOT replayed in Ray
+                                       # worker processes)
     now = PINNED_NOW
 
 
 @ray.remote
 def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
-                now, max_depth, wave: int, seen_shards: list) -> int:
+                now, max_depth, wave: int, seen_shards: list,
+                registry: dict | None = None) -> int:
     """Stateless parse work-unit: slice of a fetch-shard's joined rows
     → ParseStage → parquet part → wave-tagged candidate fan-out to the
     seen shards (acked: task completion ⇒ this slice's offers are
@@ -121,7 +127,8 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
     zero-copy and slices its own rows."""
     from crawler_ray.stages.parse import ParseStage
 
-    parsed = ParseStage(now)(fetched.slice(start, stop - start))
+    parsed = ParseStage(now, registry=registry)(
+        fetched.slice(start, stop - start))
     pq.write_table(parsed, part_path)
     cands = _explode_links(parsed)
     if max_depth is not None:
@@ -280,6 +287,12 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     continues from exactly that state (the drain bench uses this to
     time the crawl proper, not the seed ingest)."""
     cfg = cfg or CrawlConfig()
+    if cfg.registry is None:
+        # snapshot the driver-side source registry HERE: parse tasks
+        # run in worker processes where module-level register() calls
+        # were never executed (ADVICE: silent default-spec fallback)
+        from crawler_ray.sources.registry import _REGISTRY
+        cfg.registry = dict(_REGISTRY)
     os.makedirs(out_dir, exist_ok=True)
     parsed_root = os.path.join(out_dir, "parsed")
     os.makedirs(parsed_root, exist_ok=True)
@@ -444,7 +457,8 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                         fetched_ref, start, stop,
                         os.path.join(tmp_wave,
                                      f"part-{s:05d}-{c:05d}-{b:05d}.parquet"),
-                        cfg.now, cfg.max_depth, wave, seen_shards))
+                        cfg.now, cfg.max_depth, wave, seen_shards,
+                        cfg.registry))
         inflight.append((wave, refs, tmp_wave, wave_dir))
         wave += 1
         waves_done += 1

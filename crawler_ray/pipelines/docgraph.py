@@ -166,6 +166,7 @@ def crawl_reachable_dataset(sf_dir: str,
     fetched rows."""
     import pyarrow.compute as pc_
 
+    from crawler_ray.sources.registry import _REGISTRY
     from crawler_ray.stages.parse import ParseStage
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
@@ -177,6 +178,11 @@ def crawl_reachable_dataset(sf_dir: str,
     parsed = (ray.data.read_parquet(os.path.join(site, "pages.parquet"),
                                     columns=["url", "html"])
               .map_batches(ParseStage, batch_format="pyarrow",
+                           # snapshot the driver's source registry —
+                           # actor __init__ runs on workers where
+                           # module-level register() never happened
+                           fn_constructor_kwargs={
+                               "registry": dict(_REGISTRY)},
                            concurrency=(1, 4)))
     page_text = parsed.map_batches(
         lambda b: b.select(["url", "text"]),

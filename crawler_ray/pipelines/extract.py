@@ -32,8 +32,13 @@ def extract_corpus(pages_path: str, now=PINNED_NOW, *,
     dispatch setup once per actor, not per batch."""
     ds = ray.data.read_parquet(
         pages_path, columns=columns or ["url", "html", "lang", "warc_ts"])
+    from crawler_ray.sources.registry import _REGISTRY
     return ds.map_batches(ParseStage, batch_format="pyarrow",
-                          fn_constructor_kwargs={"now": now},
+                          # driver-side registry snapshot (worker
+                          # processes never saw register() calls)
+                          fn_constructor_kwargs={"now": now,
+                                                 "registry":
+                                                 dict(_REGISTRY)},
                           batch_size=batch_size, concurrency=concurrency)
 
 

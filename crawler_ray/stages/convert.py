@@ -4,19 +4,27 @@ The reference routes fetched payloads to per-format extractors:
 pdfminer (``services/pdf_to_text_service.py:63-88``), OCR fallback
 (``:26-61``), textract (``austria/__init__.py:136-138``), docx2txt
 (``slovakia/__init__.py:229-251``), striprtf (``france/__init__.py:16``),
-and zip-of-HTML concat (``belgium/__init__.py:655-690``). None of those
-libraries exist in this container, so each converter here:
+and zip-of-HTML concat (``belgium/__init__.py:655-690``). This module
+implements the converters with the **stdlib only**:
 
-- really implements the **dispatch** (magic-byte sniffing), the
-  **batch plumbing** (actor-pool ``map_batches`` over ``binary``
-  payloads, small batches — M9 is the classic skew source, SURVEY §4),
-  and the zip walk (stdlib) with member-HTML text concat via the
-  engine's own extractor;
-- gates the genuinely-external decodes (PDF body text, OCR, DOCX XML,
-  RTF) behind an import-try: with the real library present it is
-  used; otherwise ``strict=True`` raises ``NotImplementedError`` and
-  the default produces a deterministic placeholder extraction
-  (``sniff + payload sha1``) so pipelines remain runnable + testable.
+- **dispatch** — magic-byte sniffing; **batch plumbing** — actor-pool
+  ``map_batches`` over ``binary`` payloads, small batches (M9 is the
+  classic skew source, SURVEY §4);
+- **DOCX** (M11) — a docx is a zip whose text lives in
+  ``word/document.xml``: ``<w:t>`` runs per ``<w:p>`` paragraph,
+  tabs/breaks mapped (``zipfile`` + ``xml.etree``);
+- **RTF** (M12) — group-aware control-word scan (destination groups
+  skipped, ``\\par``/``\\line`` → newline, ``\\'hh`` / ``\\uN``
+  escapes decoded) — striprtf semantics without the dependency;
+- **PDF** (M8) — a minimal text-stream extractor for the common case:
+  raw or FlateDecode content streams, string literals of ``Tj`` /
+  ``TJ`` operators in stream order (escape/octal decoding). PDFs
+  whose text hides in object streams or exotic encodings fall back
+  to the deterministic placeholder (``sniff + payload sha1``), or
+  raise under ``strict=True``; OCR (M9) stays placeholder-only (no
+  raster stack in this container);
+- **zip-of-HTML** (M13) — stdlib zip walk, members sorted, text via
+  the engine's own extractor.
 
 Also carries the M14 line-join normalizer (``services/join_lines_pdf_
 to_text_service.py:38-69``): merge a line into the previous one when
@@ -30,10 +38,12 @@ import hashlib
 import io
 import re
 import zipfile
+import zlib
 
 import pyarrow as pa
 
-__all__ = ["sniff_type", "join_broken_lines", "ConvertStage",
+__all__ = ["sniff_type", "join_broken_lines", "docx_to_text",
+           "rtf_to_text", "pdf_to_text_min", "ConvertStage",
            "convert_documents"]
 
 _MAGIC = [
@@ -78,6 +88,154 @@ def _try_import(name: str):
         return None
 
 
+# --------------------------------------------------------------------------
+# stdlib format converters
+# --------------------------------------------------------------------------
+
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def docx_to_text(payload: bytes) -> str:
+    """M11 (``slovakia/__init__.py:229-251``): extract the text runs
+    of ``word/document.xml`` — one line per ``<w:p>`` paragraph,
+    ``<w:tab>`` → tab, ``<w:br>``/``<w:cr>`` → newline."""
+    import xml.etree.ElementTree as ET
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        root = ET.fromstring(zf.read("word/document.xml"))
+    paras = []
+    for p in root.iter(_W_NS + "p"):
+        parts = []
+        for el in p.iter():
+            if el.tag == _W_NS + "t":
+                parts.append(el.text or "")
+            elif el.tag == _W_NS + "tab":
+                parts.append("\t")
+            elif el.tag in (_W_NS + "br", _W_NS + "cr"):
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras)
+
+
+_RTF_TOKEN = re.compile(
+    rb"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\([^a-zA-Z])"
+    rb"|([{}])|([^\\{}]+)", re.DOTALL)
+_RTF_DESTINATIONS = frozenset((
+    b"fonttbl", b"colortbl", b"stylesheet", b"listtable",
+    b"listoverridetable", b"info", b"header", b"footer", b"headerl",
+    b"headerr", b"footerl", b"footerr", b"pict", b"object", b"field",
+    b"themedata", b"generator", b"xmlnstbl", b"footnote",
+))
+_RTF_SPECIALS = {b"par": "\n", b"line": "\n", b"sect": "\n",
+                 b"page": "\n", b"tab": "\t", b"emdash": "\u2014",
+                 b"endash": "\u2013", b"bullet": "\u2022",
+                 b"lquote": "\u2018", b"rquote": "\u2019",
+                 b"ldblquote": "\u201c", b"rdblquote": "\u201d",
+                 b"emspace": " ", b"enspace": " "}
+
+
+def rtf_to_text(payload: bytes) -> str:
+    """M12 (``france/__init__.py:16``, striprtf semantics): strip
+    control words with a group-aware scan — destination groups and
+    ``\\*`` ignorables are dropped, paragraph/line/tab controls map to
+    whitespace, ``\\'hh`` and ``\\uN`` escapes decode (honoring
+    ``\\ucN`` skip counts)."""
+    stack: list[tuple[int, bool]] = []
+    ignorable = False
+    ucskip = 1
+    curskip = 0
+    out: list[str] = []
+    for m in _RTF_TOKEN.finditer(payload):
+        word, arg, hexc, char, brace, tdata = m.groups()
+        if brace == b"{":
+            stack.append((ucskip, ignorable))
+            curskip = 0
+        elif brace == b"}":
+            if stack:
+                ucskip, ignorable = stack.pop()
+            curskip = 0
+        elif char is not None:
+            curskip = 0
+            if char == b"~":
+                if not ignorable:
+                    out.append("\xa0")
+            elif char in (b"{", b"}", b"\\"):
+                if not ignorable:
+                    out.append(char.decode())
+            elif char == b"*":
+                ignorable = True
+        elif word is not None:
+            curskip = 0
+            if word in _RTF_DESTINATIONS:
+                ignorable = True
+            elif ignorable:
+                pass
+            elif word in _RTF_SPECIALS:
+                out.append(_RTF_SPECIALS[word])
+            elif word == b"uc":
+                ucskip = int(arg or 1)
+            elif word == b"u":
+                c = int(arg or 0)
+                if c < 0:
+                    c += 0x10000
+                out.append(chr(c))
+                curskip = ucskip
+        elif hexc is not None:
+            if curskip > 0:
+                curskip -= 1
+            elif not ignorable:
+                out.append(chr(int(hexc, 16)))
+        elif tdata is not None:
+            if curskip > 0:
+                tdata = tdata[curskip:]
+                curskip = 0
+            if not ignorable:
+                out.append(tdata.replace(b"\r", b"").replace(b"\n", b"")
+                           .decode("latin-1"))
+    return "".join(out)
+
+
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_TEXT_OP_RE = re.compile(
+    rb"\(((?:\\.|[^()\\])*)\)\s*Tj"
+    rb"|\[((?:\\.|[^\]\\])*?)\]\s*TJ", re.DOTALL)
+_PDF_LIT_RE = re.compile(rb"\(((?:\\.|[^()\\])*)\)")
+_PDF_ESC_RE = re.compile(rb"\\(n|r|t|b|f|\(|\)|\\|[0-7]{1,3})")
+_PDF_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08",
+            b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    def sub(m):
+        g = m.group(1)
+        return _PDF_ESC.get(g) or bytes([int(g, 8) & 0xFF])
+    return _PDF_ESC_RE.sub(sub, raw).decode("latin-1")
+
+
+def pdf_to_text_min(payload: bytes) -> str:
+    """M8 minimal path (vs ``services/pdf_to_text_service.py:63-88``):
+    walk content streams (raw or FlateDecode), emit the string
+    literals of ``Tj``/``TJ`` show-text operators in stream order, one
+    line per operator. Returns "" when no text operator is found
+    (caller falls back / flags)."""
+    lines: list[str] = []
+    for m in _PDF_STREAM_RE.finditer(payload):
+        data = m.group(1)
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            pass
+        if b"Tj" not in data and b"TJ" not in data:
+            continue
+        for tm in _PDF_TEXT_OP_RE.finditer(data):
+            if tm.group(1) is not None:
+                lines.append(_pdf_unescape(tm.group(1)))
+            else:
+                lines.append("".join(
+                    _pdf_unescape(x.group(1))
+                    for x in _PDF_LIT_RE.finditer(tm.group(2))))
+    return "\n".join(ln for ln in lines if ln.strip())
+
+
 class ConvertStage:
     """Actor-pool converter: ``ds.map_batches(ConvertStage,
     batch_size=32, concurrency=(2, 8), batch_format="pyarrow")``.
@@ -90,9 +248,9 @@ class ConvertStage:
                  strict: bool = False):
         self.payload_col, self.id_col = payload_col, id_col
         self.strict = strict
+        # richer external backends used when present (absent in this
+        # container); the stdlib converters below are the default
         self.pdfminer = _try_import("pdfminer")
-        self.docx2txt = _try_import("docx2txt")
-        self.striprtf = _try_import("striprtf")
 
     # -- converters -------------------------------------------------------
     def _placeholder(self, kind: str, payload: bytes) -> tuple[str, str]:
@@ -104,18 +262,27 @@ class ConvertStage:
 
     def _pdf(self, payload: bytes) -> tuple[str, str]:
         if self.pdfminer is not None:        # pragma: no cover (lib absent)
-            raise NotImplementedError("wire pdfminer.high_level here")
+            from pdfminer.high_level import extract_text as pm_extract
+            return pm_extract(io.BytesIO(payload)), "pdfminer"
+        text = pdf_to_text_min(payload)
+        if text:
+            return text, "pdf-min"
+        # no extractable text stream (scanned/object-stream PDF):
+        # the reference would OCR here (M9) — no raster stack in this
+        # container, so placeholder (or strict raise)
         return self._placeholder("pdf", payload)
 
     def _docx(self, payload: bytes) -> tuple[str, str]:
-        if self.docx2txt is not None:        # pragma: no cover
-            raise NotImplementedError("wire docx2txt here")
-        return self._placeholder("docx", payload)
+        try:
+            return docx_to_text(payload), "docx-xml"
+        except (zipfile.BadZipFile, KeyError, SyntaxError, ValueError):
+            return self._placeholder("docx", payload)
 
     def _rtf(self, payload: bytes) -> tuple[str, str]:
-        if self.striprtf is not None:        # pragma: no cover
-            raise NotImplementedError("wire striprtf here")
-        return self._placeholder("rtf", payload)
+        try:
+            return rtf_to_text(payload), "rtf-scan"
+        except (ValueError, UnicodeDecodeError):
+            return self._placeholder("rtf", payload)
 
     def _html(self, payload: bytes) -> tuple[str, str]:
         from crawler_ray.extract import extract_text

@@ -72,11 +72,15 @@ class ParseStage:
     actor here in ``__init__``."""
 
     def __init__(self, now=PINNED_NOW, registry=None):
-        from crawler_ray.sources.registry import spec_for_host
+        from crawler_ray.sources.registry import _REGISTRY, spec_for_host
         self.now = now
         self.margin = now - GDPR_DATE
         self.hi = now + self.margin
-        self.registry = registry
+        # snapshot the driver-side registry at construction: the
+        # module-level _REGISTRY is NOT replayed in Ray worker
+        # processes, so reading it lazily in __call__ would silently
+        # fall back to the default spec for every custom source
+        self.registry = dict(_REGISTRY) if registry is None else registry
         self._spec_for_host = spec_for_host
 
     def _in_window(self, d) -> bool:

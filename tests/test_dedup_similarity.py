@@ -120,6 +120,65 @@ def test_media_pipeline_deterministic(ray_session):
     assert out1["n_bytes"].tolist() == [11, 11]
 
 
+def test_media_decode_pil_branch(monkeypatch):
+    """The real-decoder branch, exercised via a stub PIL module:
+    dimensions + per-band mean colors come from the decoded image;
+    undecodable payloads fall back to the fake decoder per row."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeBand:
+        def __init__(self, value):
+            self._v = value
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((2, 3), self._v, dtype=np.float64)
+
+    class _FakeImg:
+        size = (3, 2)
+
+        def split(self):
+            return [_FakeBand(255.0), _FakeBand(0.0)]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Image:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) != b"GOOD":
+                raise OSError("cannot identify image file")
+            return _FakeImg()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _Image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image",
+                        types.ModuleType("PIL.Image"))
+
+    from crawler_ray.multimodal import FEATURE_DIM, MediaDecodeStage, \
+        to_media_batch
+    stage = MediaDecodeStage()
+    assert stage.backend == "pil"
+    batch = to_media_batch(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"GOOD-image", b"garbage"], pa.binary()),
+    }), "payload", "doc_id")
+    out = stage(batch)
+    # decoded row: stub dims and band means [1.0, 0.0, pad...]
+    assert out["width"][0].as_py() == 3 and out["height"][0].as_py() == 2
+    feat = out["features"][0].as_py()
+    assert feat[0] == 1.0 and feat[1] == 0.0 and len(feat) == FEATURE_DIM
+    # undecodable row: per-row fallback = the deterministic fake
+    w, h, f = stage._fake_decode(b"garbage")
+    assert out["width"][1].as_py() == w and out["height"][1].as_py() == h
+
+
 def test_tfidf_kmeans_separates_topics(ray_session):
     import ray
 

@@ -114,3 +114,10 @@ def test_fast_scanner_equals_stdlib():
     # constructs the scanner must refuse (fallback, not wrong answers)
     assert fast_result('<script>if (a<b) x()</script>') is None
     assert fast_result('<div>< notatag</div>') is None
+    # unterminated comment: '<![^>]*>' would eat it to the first '>'
+    # and leak the body as live markup; stdlib swallows it to EOF
+    unterminated = ('<div class="content"><p>before</p>'
+                    '<!-- broken > <p>leaked</p></div>')
+    assert fast_result(unterminated) is None
+    from crawler_ray.extract import extract_text
+    assert extract_text(unterminated.encode()) == "before"

@@ -52,6 +52,40 @@ def test_source_spec_dispatch():
         R.clear_registry()
 
 
+def test_registry_dispatch_reaches_workers(ray_session, tmp_path):
+    """register() on the driver must take effect inside Ray worker
+    processes (the module-level registry is not replayed there — the
+    pipelines snapshot it into the stage at construction)."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.extract import extract_corpus
+    from crawler_ray.sources import registry as R
+
+    def shouty(html: bytes) -> str:
+        return html.decode().upper()
+
+    try:
+        R.register(R.SourceSpec(source_id="shout",
+                                hosts=("shout.example",),
+                                text_extractor=shouty))
+        pq.write_table(pa.table({
+            "url": pa.array(["https://shout.example/a",
+                             "https://other.example/b"], pa.string()),
+            "html": pa.array(
+                [b'<div class="content"><p>hello</p></div>'] * 2,
+                pa.binary()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        }), str(tmp_path / "pages.parquet"))
+        out = (extract_corpus(str(tmp_path / "pages.parquet"))
+               .to_pandas().set_index("url"))
+        assert out.loc["https://shout.example/a", "text"] \
+            == '<DIV CLASS="CONTENT"><P>HELLO</P></DIV>'
+        assert out.loc["https://other.example/b", "text"] == "hello"
+    finally:
+        R.clear_registry()
+
+
 def test_reference_layout_export(ray_session, tmp_path):
     import datetime
 

@@ -133,6 +133,65 @@ def test_convert_stage_dispatch():
         "Complete line.\nNew sentence."
 
 
+def test_docx_real_extraction():
+    """M11 is a real stdlib decode now: zip + word/document.xml runs
+    (reference parity: slovakia/__init__.py:229-251)."""
+    import io
+    import zipfile
+
+    from crawler_ray.stages.convert import ConvertStage
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc_xml = (f'<w:document xmlns:w="{W}"><w:body>'
+               '<w:p><w:r><w:t>Rozhodnutie 42</w:t></w:r></w:p>'
+               '<w:p><w:r><w:t>prvá časť</w:t><w:tab/>'
+               '<w:t>druhá časť</w:t></w:r></w:p>'
+               "</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", doc_xml)
+    from crawler_ray.stages.convert import docx_to_text
+    assert docx_to_text(buf.getvalue()) \
+        == "Rozhodnutie 42\nprvá časť\tdruhá časť"
+    st = ConvertStage(payload_col="body", id_col="id")
+    out = st(pa.table({"id": pa.array([1], pa.int64()),
+                       "body": pa.array([buf.getvalue()], pa.binary())}))
+    assert out["content_type"][0].as_py() == "docx"
+    assert out["converter"][0].as_py() == "docx-xml"
+    # the stage applies the M14 line joiner on top ("42" lacks
+    # closing punctuation, next line starts lowercase)
+    assert out["text"][0].as_py() == "Rozhodnutie 42 prvá časť\tdruhá časť"
+
+
+def test_rtf_real_extraction():
+    """M12: group-aware RTF scan — destinations skipped, \\par →
+    newline, hex and unicode escapes decoded."""
+    from crawler_ray.stages.convert import rtf_to_text
+    rtf = (rb"{\rtf1\ansi{\fonttbl{\f0 Arial;}}"
+           rb"{\*\generator Word;}"
+           rb"D\'e9cision\par CNIL \u8364? amende\par}")
+    assert rtf_to_text(rtf) == "D\xe9cision\nCNIL € amende\n"
+
+
+def test_pdf_minimal_extraction():
+    """M8 minimal path: Tj/TJ literals from raw and FlateDecode
+    content streams, escapes decoded; textless PDFs stay placeholder."""
+    import zlib
+
+    from crawler_ray.stages.convert import ConvertStage, pdf_to_text_min
+    raw_stream = b"BT /F1 12 Tf (Sanction \\(2021\\)) Tj ET"
+    flate = zlib.compress(b"BT [(Amende ) (de 50) ] TJ ET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length 99 >>\nstream\n"
+           + raw_stream + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+           + flate + b"\nendstream\nendobj\n%%EOF")
+    assert pdf_to_text_min(pdf) == "Sanction (2021)\nAmende de 50"
+    st = ConvertStage(payload_col="body", id_col="id")
+    out = st(pa.table({"id": pa.array([1], pa.int64()),
+                       "body": pa.array([pdf], pa.binary())}))
+    assert out["converter"][0].as_py() == "pdf-min"
+
+
 def test_convert_strict_raises():
     import pytest
 
