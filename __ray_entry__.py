@@ -111,6 +111,17 @@ def _dedup_embedding(sf_dir: str):
                                threshold=EMBED_DUP_THRESHOLD)
 
 
+def _dedup_embedding_lsh(sf_dir: str):
+    """The sub-quadratic scale path (hyperplane buckets + join
+    verify); approximate by construction — bench.py measures its
+    pair recall vs the exact sweep (~0.86-0.93 on the synthetic
+    embeddings at these parameters)."""
+    from crawler_ray.dedup import embedding_dup_pairs_lsh
+    return embedding_dup_pairs_lsh(_ds(sf_dir, "embeddings"),
+                                   threshold=EMBED_DUP_THRESHOLD,
+                                   n_planes=4, probe_bits=1)
+
+
 def _doc_langid(sf_dir: str):
     from crawler_ray.functions.langid import LangIdStage
     return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -189,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
         "dedup_embedding": _dedup_embedding,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         # similarity search
         "knn_cosine": _knn_brute,
         "knn_lsh": _knn_lsh,

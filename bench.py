@@ -121,7 +121,8 @@ def run_queries(sf_dir: str) -> dict:
         "events_hourly", "sessionize", "stopwords_by_source",
         "doc_stats", "doc_quality", "doc_tokens", "doc_langid",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
-        "knn_cosine", "knn_lsh", "media_features", "crawl_reachable",
+        "dedup_embedding_lsh", "knn_cosine", "knn_lsh", "media_features",
+        "crawl_reachable",
     ]
     qs = E.queries()
     out = {}
@@ -138,6 +139,30 @@ def run_queries(sf_dir: str) -> dict:
             pass
         out[name] = round(time.time() - t0, 2)
     return out
+
+
+def knn_recall(sf_dir: str) -> float:
+    """recall@k of the ANN path vs exact brute force (same queries) —
+    the number a user tunes ``n_probe_bits`` against."""
+    import __ray_entry__ as E
+    qs = E.queries()
+    brute = qs["knn_cosine"](sf_dir).to_pandas()
+    approx = qs["knn_lsh"](sf_dir).to_pandas()
+    b = set(map(tuple, brute.values))
+    a = set(map(tuple, approx.values))
+    return round(len(a & b) / len(b), 3) if b else 1.0
+
+
+def embedding_dedup_recall(sf_dir: str) -> float:
+    """pair recall of the LSH-bucketed embedding dedup vs the exact
+    block sweep at the same threshold."""
+    import __ray_entry__ as E
+    qs = E.queries()
+    exact = qs["dedup_embedding"](sf_dir).to_pandas()
+    lsh = qs["dedup_embedding_lsh"](sf_dir).to_pandas()
+    e = set(map(tuple, exact[["a_id", "b_id"]].values))
+    l = set(map(tuple, lsh[["a_id", "b_id"]].values))
+    return round(len(e & l) / len(e), 3) if e else 1.0
 
 
 def main() -> None:
@@ -212,6 +237,8 @@ def main() -> None:
     _warmup()
     crawl = _crawl("bench", f"crawl_{cpus}")
     queries = run_queries(sf_dir)
+    recall = knn_recall(sf_dir)
+    dedup_recall = embedding_dedup_recall(sf_dir)
     total = time.time() - t_total
     queries["crawl_bench_200k"] = crawl["sec"]
     print(json.dumps({
@@ -220,6 +247,8 @@ def main() -> None:
         "queries": queries, "sf": sf, "num_cpus": cpus,
         "crawl_urls_per_sec": crawl["urls_per_sec"],
         "crawl": crawl,
+        "knn_lsh_recall_at_10": recall,
+        "embedding_lsh_pair_recall": dedup_recall,
     }))
     ray.shutdown()
 

@@ -103,6 +103,16 @@ def test_embedding_dup_and_knn(ray_session):
     assert 3 in approx["neighbor_id"].to_pylist()
 
 
+def test_knn_lsh_recall_floor(ray_session):
+    """ANN recall@10 vs brute force must clear 0.9 at the default
+    (n_planes, n_probe_bits) — deterministic: seeded planes, fixed
+    testdata. bench.py emits the same number per run."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import knn_recall
+    assert knn_recall("/root/testdata/sf0.01") >= 0.9
+
+
 def test_media_pipeline_deterministic(ray_session):
     import ray
 
