@@ -172,36 +172,54 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--tier", default="bench")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--levels", default="8,32",
+                    help="comma pair of CPU counts for --scaling (N,4N)")
     args = ap.parse_args()
 
     if args.scaling:
-        # fresh process per parallelism level (the contract's N vs 4N
-        # cluster stand-in); generate the fixture once up front
+        # Fresh process per (level, trial), the contract's N vs 4N
+        # cluster stand-in, with two noise controls:
+        #  - trials INTERLEAVE the levels (8,32,8,32,...) so the
+        #    box's ±30% background drift cancels out of the ratio
+        #    instead of biasing whichever level ran second;
+        #  - each process is taskset-pinned to its core budget
+        #    (0..N-1), so an "8-CPU cluster" really is 8 physical
+        #    cores — actors and I/O can't borrow idle cores the way
+        #    they never could on a real 8-core node.
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        results = {}
-        for cpus in (8, 32):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl-only",
-                 "--cpus", str(cpus), "--tier", "scale"],
-                capture_output=True, text=True, timeout=3600,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            if p.returncode != 0:
-                print(p.stdout, p.stderr[-4000:], file=sys.stderr)
-                sys.exit(1)
-            results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
-        r8, r32 = results[8]["crawl"], results[32]["crawl"]
-        eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0
+        lo_cpus, hi_cpus = (int(x) for x in args.levels.split(","))
+        trial_secs = {lo_cpus: [], hi_cpus: []}
+        urls = None
+        for t in range(args.trials):
+            for cpus in (lo_cpus, hi_cpus):
+                p = subprocess.run(
+                    ["taskset", "-c", f"0-{cpus - 1}",
+                     sys.executable, os.path.abspath(__file__),
+                     "--crawl-only", "--cpus", str(cpus),
+                     "--tier", "scale", "--trials", "1"],
+                    capture_output=True, text=True, timeout=3600,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                if p.returncode != 0:
+                    print(p.stdout, p.stderr[-4000:], file=sys.stderr)
+                    sys.exit(1)
+                r = json.loads(p.stdout.strip().splitlines()[-1])
+                trial_secs[cpus].append(r["crawl"]["sec"])
+                urls = r["crawl"]["urls_fetched"]
+        med = {c: sorted(s)[len(s) // 2] for c, s in trial_secs.items()}
+        ups = {c: round(urls / med[c], 1) for c in med}
+        eff = (ups[hi_cpus] / ups[lo_cpus]) / (hi_cpus / lo_cpus)
         print(json.dumps({
-            "metric": "frontier-drain scaling efficiency (8 -> 32 CPUs, "
-                      "fresh processes, 1.35M-URL frontier over the "
-                      "1.5M-page fixture; median of 3 trials each)",
+            "metric": f"frontier-drain scaling efficiency ({lo_cpus} -> "
+                      f"{hi_cpus} CPUs, fresh taskset-pinned processes, "
+                      f"interleaved trials x{args.trials}, 1.35M-URL "
+                      "frontier over the 1.5M-page fixture)",
             "value": round(eff, 3), "unit": "efficiency",
-            "urls_per_sec_8": r8["urls_per_sec"],
-            "urls_per_sec_32": r32["urls_per_sec"],
-            "sec_8": r8["sec"], "sec_32": r32["sec"],
-            "trial_secs_8": results[8]["trial_secs"],
-            "trial_secs_32": results[32]["trial_secs"],
-            "urls_fetched": r8["urls_fetched"],
+            f"urls_per_sec_{lo_cpus}": ups[lo_cpus],
+            f"urls_per_sec_{hi_cpus}": ups[hi_cpus],
+            f"sec_{lo_cpus}": med[lo_cpus], f"sec_{hi_cpus}": med[hi_cpus],
+            f"trial_secs_{lo_cpus}": trial_secs[lo_cpus],
+            f"trial_secs_{hi_cpus}": trial_secs[hi_cpus],
+            "urls_fetched": urls,
         }))
         return
 

@@ -56,7 +56,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from dataclasses import dataclass, field
+import time
+from collections import defaultdict
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -65,7 +67,7 @@ import pyarrow.parquet as pq
 import ray
 
 from crawler_ray.functions.dates import PINNED_NOW
-from crawler_ray.sources.pages import build_page_stores, pack, unpack
+from crawler_ray.sources.pages import pack, unpack
 from crawler_ray.state.frontier import make_frontier_shards
 from crawler_ray.state.seen import make_seen_shards
 from crawler_ray.urlnorm import canonicalize, hash64_many, host_of
@@ -109,8 +111,7 @@ class CrawlConfig:
 
 @ray.remote
 def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
-                now, max_depth, wave: int, seen_shards: list,
-                registry: dict | None = None) -> int:
+                wave: int, ctx: dict) -> int:
     """Stateless parse work-unit: slice of a fetch-shard's joined rows
     → ParseStage → parquet part → wave-tagged candidate fan-out to the
     seen shards (acked: task completion ⇒ this slice's offers are
@@ -121,13 +122,22 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
 
     Stateless tasks (vs parse inside the page-store actor) let Ray
     schedule the work across every CPU regardless of which shard owns
-    the pages — per-wave stragglers are bounded by ``parse_batch``
+    the pages — per-wave stragglers are bounded by the batch size
     instead of the biggest shard slice. The fetched table itself is a
-    single object-store entry per (wave, shard); every task maps it
-    zero-copy and slices its own rows."""
+    single object-store entry per (wave, shard, chunk); every task
+    maps it zero-copy and slices its own rows. (Joining inside the
+    tasks against a plasma-exported corpus was tried and REVERTED: it
+    parks a second full copy of the html corpus in the object store —
+    spill pressure — and loses the fetch/parse pipeline overlap; the
+    chunked fetch below measures faster at both 8 and 32 CPUs.)
+    ``ctx`` (now / max_depth / seen-shard handles / registry) is one
+    object-store entry shared by every task of the run — per-task
+    args stay a few ints."""
     from crawler_ray.stages.parse import ParseStage
 
-    parsed = ParseStage(now, registry=registry)(
+    max_depth = ctx["max_depth"]
+    seen_shards = ctx["seen_shards"]
+    parsed = ParseStage(ctx["now"], registry=ctx["registry"])(
         fetched.slice(start, stop - start))
     pq.write_table(parsed, part_path)
     cands = _explode_links(parsed)
@@ -297,19 +307,31 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     parsed_root = os.path.join(out_dir, "parsed")
     os.makedirs(parsed_root, exist_ok=True)
 
+    phase_setup = defaultdict(float)
+    _timing = bool(os.environ.get("CRAWLER_RAY_PHASE_TIMING"))
+    t0 = time.perf_counter()
     robots_t = pq.read_table(robots_path)
     robots = {h: list(d or []) for h, d in zip(
         robots_t["host"].to_pylist(), robots_t["disallow_prefixes"].to_pylist())}
     delays = {h: int(c) for h, c in zip(robots_t["host"].to_pylist(),
                                         robots_t["crawl_delay_ms"].to_pylist())}
 
+    # setup is dispatched fully async and awaited ONCE: actor wiring,
+    # the 8-way corpus load, and checkpoint restore all overlap (they
+    # touch disjoint actors; per-caller FIFO ordering on each actor
+    # makes the later wave calls safe without intermediate barriers)
+    from crawler_ray.sources.pages import PageStore
+
     frontier_shards = make_frontier_shards(cfg.n_frontier_shards, delays,
                                            cfg.round_ms, cfg.politeness_cap)
     seen_shards = make_seen_shards(cfg.n_seen_shards,
                                    cfg.seen_capacity_per_shard, robots,
                                    filter_kind=cfg.seen_filter)
-    ray.get([s.set_frontier.remote(frontier_shards) for s in seen_shards])
-    page_stores = build_page_stores(pages_path, cfg.n_page_shards)
+    setup_refs = [s.set_frontier.remote(frontier_shards) for s in seen_shards]
+    page_stores = [PageStore.options(max_concurrency=1)
+                   .remote(i, cfg.n_page_shards)
+                   for i in range(cfg.n_page_shards)]
+    setup_refs += [s.load.remote(pages_path) for s in page_stores]
 
     wave = window = 0
     pop_rank = 0
@@ -319,10 +341,11 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             raise FileNotFoundError(f"no committed checkpoint under {out_dir}")
         meta = json.load(open(os.path.join(epoch, "meta.json")))
         wave, window, pop_rank = meta["wave"], meta["window"], meta["pop_rank"]
-        ray.get([f.restore.remote(os.path.join(epoch, f"frontier_{i:04d}.parquet"))
-                 for i, f in enumerate(frontier_shards)] +
-                [s.restore.remote(os.path.join(epoch, f"seen_{i:04d}.parquet"))
-                 for i, s in enumerate(seen_shards)])
+        setup_refs += \
+            [f.restore.remote(os.path.join(epoch, f"frontier_{i:04d}.parquet"))
+             for i, f in enumerate(frontier_shards)] + \
+            [s.restore.remote(os.path.join(epoch, f"seen_{i:04d}.parquet"))
+             for i, s in enumerate(seen_shards)]
         for d in os.listdir(parsed_root):          # drop post-epoch partial waves
             if d.endswith(".tmp"):
                 shutil.rmtree(os.path.join(parsed_root, d))
@@ -341,8 +364,10 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         # seeds: committed as pseudo-wave −1, visible from wave 0
         ray.get([s.commit_wave.remote(-1, 0) for s in seen_shards])
         if seed_only:
+            ray.get(setup_refs)
             _checkpoint(out_dir, 0, 0, 0, frontier_shards, seen_shards)
             return {"seeded": True, "out_dir": out_dir}
+    ray.get(setup_refs)
 
     # ---- pipelined wave loop --------------------------------------------
     # In flight at any time: up to (pipeline_depth − 1) fetch+parse
@@ -352,13 +377,18 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     # the identical rules.
     from collections import deque
 
+    phase_setup["setup_total"] = time.perf_counter() - t0
     P = max(1, cfg.pipeline_depth)
     inflight: deque = deque()          # (wave_id, fp refs, tmp, final dir)
     commits: dict[int, list] = {}      # wave_id -> commit_wave refs
+    phase = defaultdict(float)         # wall-time per driver phase (printed
+    phase.update(phase_setup)          # when CRAWLER_RAY_PHASE_TIMING set
 
     def retire_one() -> None:
         j, refs, tmp_wave, wave_dir = inflight.popleft()
+        t0 = time.perf_counter()
         ray.get(refs)                  # tasks done ⇒ wave-j offers landed
+        phase["retire_wait"] += time.perf_counter() - t0
         os.rename(tmp_wave, wave_dir)
         commits[j] = [s.commit_wave.remote(j, j + P) for s in seen_shards]
 
@@ -371,18 +401,29 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     waves_done = 0
     last_nonempty = wave - 1       # resume: checkpoint drains, so any
                                    # staged entries came from waves < wave
+    # shared per-run parse context: ONE object-store entry instead of
+    # re-pickling 8 actor handles + the registry into every task
+    ctx_ref = ray.put({"now": cfg.now, "max_depth": cfg.max_depth,
+                       "seen_shards": seen_shards,
+                       "registry": cfg.registry})
+    n_cpus = int(ray.cluster_resources().get("CPU", 32))
+    t_loop0 = time.perf_counter()
     while True:
         # dispatch commits for waves old enough (≥1 iteration of slack
         # before their visibility deadline at pop(j+P))
         while inflight and inflight[0][0] <= wave - min(P, 2):
             retire_one()
         # visibility barrier: commits for waves ≤ wave−P must be applied
+        t0 = time.perf_counter()
         for j in [j for j in list(commits) if j <= wave - P]:
             ray.get(commits.pop(j))
+        phase["commit_wait"] += time.perf_counter() - t0
 
+        t0 = time.perf_counter()
         parts = [t for t in ray.get(
             [f.pop_wave.remote(wave) for f in frontier_shards])
             if t is not None]
+        phase["pop"] += time.perf_counter() - t0
         if not parts:
             # Bubble rule (oracle rule 9): if any wave in (wave−P, wave)
             # popped rows, its discoveries may still be staged — advance
@@ -402,11 +443,13 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                 continue
             break
         last_nonempty = wave
+        t0 = time.perf_counter()
         popped = pa.concat_tables(parts)
         order = pc.sort_indices(popped, sort_keys=[
             ("host", "ascending"), ("depth", "ascending"),
             ("parent_order", "ascending"), ("dom_idx", "ascending")])
         popped = popped.take(order)
+        phase["rank_sort"] += time.perf_counter() - t0
         n = popped.num_rows
         popped = (popped
                   .append_column("pop_rank", pa.array(
@@ -426,6 +469,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         # fetch on the page-store pool (data-local hash-join), parse as
         # stateless load-balanced tasks, all dispatched async — retired
         # up to P−1 waves later
+        t0 = time.perf_counter()
         hashes = popped["url_hash"].to_numpy(zero_copy_only=False)
         shard = (hashes % np.uint64(cfg.n_page_shards)).astype(np.int64)
         # stable-sort the ranked wave by page shard → contiguous
@@ -437,8 +481,17 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         bounds = np.searchsorted(shard_sorted,
                                  np.arange(cfg.n_page_shards + 1))
         popped_ref = ray.put(popped_s)
+        phase["shard_put"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         refs = []
-        fetch_chunk = cfg.parse_batch * 4
+        # work-unit size scales with the wave so a frontier-wide mega
+        # wave doesn't dispatch thousands of tasks: target ~16 tasks
+        # per CPU (plenty of stealing granularity), floor parse_batch
+        # (task results are row-independent, so the batch size never
+        # affects crawl output — only scheduling)
+        batch = max(cfg.parse_batch,
+                    -(-n // (n_cpus * 16)))          # ceil-div
+        fetch_chunk = batch * 4
         for s in range(cfg.n_page_shards):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
             if lo == hi:
@@ -451,14 +504,14 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                 fetched_ref = page_stores[s].fetch.remote(
                     popped_ref, c_start, c_stop)
                 for b, start in enumerate(
-                        range(0, c_stop - c_start, cfg.parse_batch)):
-                    stop = min(start + cfg.parse_batch, c_stop - c_start)
+                        range(0, c_stop - c_start, batch)):
+                    stop = min(start + batch, c_stop - c_start)
                     refs.append(_parse_task.remote(
                         fetched_ref, start, stop,
                         os.path.join(tmp_wave,
                                      f"part-{s:05d}-{c:05d}-{b:05d}.parquet"),
-                        cfg.now, cfg.max_depth, wave, seen_shards,
-                        cfg.registry))
+                        wave, ctx_ref))
+        phase["dispatch"] += time.perf_counter() - t0
         inflight.append((wave, refs, tmp_wave, wave_dir))
         wave += 1
         waves_done += 1
@@ -469,7 +522,15 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             if stop_after_waves is not None and waves_done >= stop_after_waves:
                 return {"aborted_at_wave": wave, "out_dir": out_dir}
 
+    phase["loop_total"] = time.perf_counter() - t_loop0
+    t0 = time.perf_counter()
     _checkpoint(out_dir, wave, window, pop_rank, frontier_shards, seen_shards)
+    phase["final_checkpoint"] = time.perf_counter() - t0
+    if _timing:
+        import sys as _sys
+        print("PHASE_TIMING "
+              + json.dumps({k: round(v, 3) for k, v in sorted(phase.items())}),
+              file=_sys.stderr)
     seen_stats = ray.get([s.stats.remote() for s in seen_shards])
     frontier_stats = ray.get([f.stats.remote() for f in frontier_shards])
     summary = {

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -133,40 +132,49 @@ class SeenShard:
         tables = [pickle.loads(b) if isinstance(b, (bytes, bytearray)) else b
                   for b in pending]
         t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
-        # rule 6: keep the smallest (depth, parent_order, dom_idx) per url_hash
-        order = pc.sort_indices(t, sort_keys=[("url_hash", "ascending"),
-                                              ("depth", "ascending"),
-                                              ("parent_order", "ascending"),
-                                              ("dom_idx", "ascending")])
-        t = t.take(order)
+        # rule 6: keep the smallest (depth, parent_order, dom_idx) per
+        # url_hash — lexsort on the integer keys only; the url strings
+        # never move until the (usually tiny) new-row take at the end
         hashes = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        first = np.ones(len(hashes), dtype=bool)
-        first[1:] = hashes[1:] != hashes[:-1]
+        depth = t["depth"].to_numpy(zero_copy_only=False)
+        parent = t["parent_order"].to_numpy(zero_copy_only=False)
+        dom = t["dom_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dom, parent, depth, hashes))
+        hs = hashes[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
         self.metrics["dup_discovery"] += int((~first).sum())
-        t = t.filter(pa.array(first))
-        hashes = hashes[first]
-        # robots (oracle rule 2; checked after same-wave dedup, before seen)
-        allowed = robots_allowed_mask(t["url"].to_pylist(),
-                                      t["host"].to_pylist(), self.robots)
-        # membership: bloom prefilter, exact confirm (both vectorized)
-        maybe = self.bloom.might_contain(hashes)
-        known = np.zeros(len(hashes), dtype=bool)
+        keep = order[first]            # row ids of winners, hash-ascending
+        hashes_u = hs[first]
+        # membership first (bloom prefilter, exact confirm — both
+        # vectorized). Robots runs ONLY on the not-yet-seen remainder:
+        # a disallowed url is never admitted, so known ⊆ allowed and
+        # the metric accounting below is identical to checking robots
+        # on every row (oracle rule order: seen, then robots —
+        # ``oracle.py:150-155``).
+        maybe = self.bloom.might_contain(hashes_u)
+        known = np.zeros(len(hashes_u), dtype=bool)
         if maybe.any() and len(self.exact):
-            h = hashes[maybe]
+            h = hashes_u[maybe]
             idx = np.minimum(np.searchsorted(self.exact, h),
                              len(self.exact) - 1)
             known[maybe] = self.exact[idx] == h
         self.metrics["bloom_false_positives"] += int(maybe.sum() - known.sum())
-        self.metrics["dup_discovery"] += int((known & allowed).sum())
-        self.metrics["robots_excluded"] += int((~allowed & ~known).sum())
-        new = allowed & ~known
-        if not new.any():
+        self.metrics["dup_discovery"] += int(known.sum())
+        fresh = ~known
+        if not fresh.any():
             return None
-        admit = hashes[new]
+        sub = t.take(pa.array(keep[fresh]))
+        allowed = robots_allowed_mask(sub["url"].to_pylist(),
+                                      sub["host"].to_pylist(), self.robots)
+        self.metrics["robots_excluded"] += int((~allowed).sum())
+        if not allowed.any():
+            return None
+        admit = hashes_u[fresh][allowed]
         self.bloom.add(admit)
         self.exact = np.union1d(self.exact, admit)
-        self.metrics["admitted"] += int(new.sum())
-        return t.filter(pa.array(new))
+        self.metrics["admitted"] += int(allowed.sum())
+        return sub.filter(pa.array(allowed))
 
     # -- checkpoint -------------------------------------------------------
     def snapshot(self, path: str) -> int:

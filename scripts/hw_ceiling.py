@@ -41,15 +41,16 @@ def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else \
         "/tmp/crawler_ray_bench/scale/sharded_8/shard-00000.parquet"
     results = {}
-    for procs in (1, 8, 32):
+    for procs in (1, 4, 8, 16, 32):
         with mp.Pool(procs) as p:
             rates = p.map(work, [(path, 5.0)] * procs)
         results[procs] = sum(rates)
         print(f"{procs:>2} procs: {results[procs]:8.0f} pages/s aggregate "
               f"({results[procs] / procs:6.0f} per proc)")
-    ratio = results[32] / results[8]
-    print(f"8->32 speedup: {ratio:.2f}x  "
-          f"=> hardware scaling-efficiency ceiling {ratio / 4:.2f}")
+    for lo, hi in ((8, 32), (4, 16)):
+        ratio = results[hi] / results[lo]
+        print(f"{lo}->{hi} speedup: {ratio:.2f}x  "
+              f"=> hardware scaling-efficiency ceiling {ratio / 4:.2f}")
 
 
 if __name__ == "__main__":
