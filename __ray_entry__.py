@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": A.events_hourly,
         "sessionize": A.sessionize,
         "stopwords_by_source": A.stopwords_by_source,
+        "stopwords_global": A.stopwords_global,
         # text analysis (M15-M23 + training-data ops)
         "doc_keywords": A.doc_keywords_query,
         "doc_enrich": A.doc_enrich_query,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": A.EVENTS_HOURLY_SQL,
         "sessionize": A.SESSIONIZE_SQL,
         "stopwords_by_source": A.STOPWORDS_SQL,
+        "stopwords_global": A.STOPWORDS_GLOBAL_SQL,
         "doc_stats": A.DOC_STATS_SQL,
         "doc_tokens": A.DOC_TOKENS_SQL,
         "doc_quality": A.DOC_QUALITY_SQL,

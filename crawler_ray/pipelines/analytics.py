@@ -490,6 +490,62 @@ def stopwords_by_source(sf_dir: str, top_n: int = STOPWORDS_TOP_N
             .map_groups(merge_and_topn, batch_format="pandas"))
 
 
+STOPWORDS_GLOBAL_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS term_count FROM toks
+  WHERE term <> '' GROUP BY term
+), ranked AS (
+  SELECT term, term_count,
+    row_number() OVER (ORDER BY term_count DESC, term) AS rk
+  FROM counts
+)
+SELECT term, term_count FROM ranked WHERE rk <= {STOPWORDS_TOP_N}
+"""
+
+
+def stopwords_global(sf_dir: str, top_n: int = STOPWORDS_TOP_N
+                     ) -> "ray.data.Dataset":
+    """A2: the cross-source merge of the stopword counts
+    (``services/gdpr_stopwords_service.py:20-26`` union, with real
+    count-merge semantics). Per-block term partials → 64-way
+    term-hash groups (each term lives wholly in one group, so the
+    global top-n ⊆ union of per-group top-n) → distributed sort +
+    limit. The shuffle moves (term, partial-count) rows only."""
+    import zlib
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            for term in _TERM_SPLIT.split((text or "").lower()):
+                if term:
+                    counts[term] += 1
+        items = sorted(counts.items())
+        return pa.table({
+            "term": pa.array([k for k, _ in items], pa.string()),
+            "term_count": pa.array([v for _, v in items], pa.int64()),
+            "_c": pa.array([zlib.crc32(k.encode()) % 64 for k, _ in items],
+                           pa.int64()),
+        })
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("term", as_index=False)["term_count"].sum()
+        m = m.sort_values(["term_count", "term"], ascending=[False, True],
+                          kind="mergesort").head(top_n)
+        m["term_count"] = m["term_count"].astype(np.int64)
+        return m[["term", "term_count"]]
+
+    return (_read(sf_dir, "documents", columns=["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_c")
+            .map_groups(per_group, batch_format="pandas")
+            .sort(["term_count", "term"], descending=[True, False])
+            .limit(top_n))
+
+
 # --------------------------------------------------------------------------
 # document text-analysis queries (kernels from functions/textops.py)
 # --------------------------------------------------------------------------

@@ -24,7 +24,8 @@ import os
 import pyarrow as pa
 
 __all__ = ["write_docs_parquet", "export_reference_layout",
-           "write_stopwords_json", "render_markdown", "metadata_json"]
+           "write_stopwords_json", "render_markdown", "metadata_json",
+           "export_reachability_svg"]
 
 
 def write_docs_parquet(docs, out_dir: str,
@@ -101,3 +102,88 @@ def render_markdown(template: str, values: dict) -> str:
     for k, v in values.items():
         out = out.replace("{{" + k + "}}", str(v))
     return out
+
+
+# --------------------------------------------------------------------------
+# S8: reachability-analysis SVG export
+# --------------------------------------------------------------------------
+
+_SVG_COLORS = {"WHITE": ("white", "black"),      # fill, text — mirrors the
+               "GREY": ("lightgrey", "black"),   # reference's Color enum
+               "BLACK": ("black", "white")}      # (reachability_node:3-7)
+
+_CHECK_COLS = (("seed", "seed_ok"), ("listings", "empty_listings"),
+               ("details", "empty_details"), ("structure", "n_other"))
+
+
+def export_reachability_svg(report, path: str) -> str:
+    """S8: render the conformance report as the reference's colored
+    reachability tree (``export_reachability_analysis_service/
+    __init__.py:32-74``: filled nodes, white-on-black for failed,
+    edges parent→child), as a deterministic stdlib-built SVG — the
+    sandbox has no graphviz, and the layout (root → one node per
+    source host → one leaf per structural check) is fixed, so a
+    hand-rolled layered renderer gives byte-stable output.
+
+    ``report`` is the per-source DataFrame from
+    :func:`crawler_ray.pipelines.conformance.conformance_report`
+    (driver-sized: one row per source — rendering is not distributed
+    work, exactly like the reference's driver-side ``dot.render``)."""
+    rows = report.sort_values("host").to_dict("records")
+
+    node_w, node_h, leaf_w, gap, vgap = 150, 26, 82, 14, 52
+    group_w = max(node_w, len(_CHECK_COLS) * (leaf_w + gap) - gap)
+    total_w = max(300, len(rows) * (group_w + gap * 2))
+    total_h = 3 * (node_h + vgap) + 20
+
+    def esc(s) -> str:
+        return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace('"', "&quot;"))
+
+    def box(x, y, w, label, status) -> str:
+        fill, text = _SVG_COLORS[status]
+        return (
+            f'<rect x="{x:.1f}" y="{y}" width="{w}" height="{node_h}" '
+            f'fill="{fill}" stroke="black"/>'
+            f'<text x="{x + w / 2:.1f}" y="{y + node_h / 2 + 4}" '
+            f'fill="{text}" text-anchor="middle" font-size="11" '
+            f'font-family="monospace">{esc(label)}</text>')
+
+    def edge(x1, y1, x2, y2) -> str:
+        return (f'<line x1="{x1:.1f}" y1="{y1}" x2="{x2:.1f}" y2="{y2}" '
+                f'stroke="black"/>')
+
+    def checks(r) -> list[tuple[str, str]]:
+        return [
+            ("seed", "WHITE" if r["seed_ok"] else "BLACK"),
+            ("listings", "WHITE" if r["empty_listings"] == 0 else "BLACK"),
+            ("details", "WHITE" if r["empty_details"] == 0 else "BLACK"),
+            ("structure", "WHITE" if r["n_other"] == 0 else "BLACK"),
+        ]
+
+    statuses = [r["status"] for r in rows]
+    root_status = ("WHITE" if all(s == "WHITE" for s in statuses)
+                   else "BLACK" if all(s == "BLACK" for s in statuses)
+                   else "GREY")
+    parts = [f'<svg xmlns="http://www.w3.org/2000/svg" '
+             f'width="{total_w}" height="{total_h}" '
+             f'viewBox="0 0 {total_w} {total_h}">']
+    root_x = total_w / 2 - node_w / 2
+    y0, y1, y2 = 10, 10 + node_h + vgap, 10 + 2 * (node_h + vgap)
+    parts.append(box(root_x, y0, node_w, "GDPR", root_status))
+    for i, r in enumerate(rows):
+        gx = gap + i * (group_w + gap * 2)
+        hx = gx + group_w / 2 - node_w / 2
+        parts.append(edge(total_w / 2, y0 + node_h,
+                          hx + node_w / 2, y1))
+        parts.append(box(hx, y1, node_w, r["host"], r["status"]))
+        for j, (label, st) in enumerate(checks(r)):
+            lx = gx + j * (leaf_w + gap) \
+                + (group_w - (len(_CHECK_COLS) * (leaf_w + gap) - gap)) / 2
+            parts.append(edge(hx + node_w / 2, y1 + node_h,
+                              lx + leaf_w / 2, y2))
+            parts.append(box(lx, y2, leaf_w, label, st))
+    parts.append("</svg>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts) + "\n")
+    return path

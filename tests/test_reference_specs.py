@@ -1,0 +1,195 @@
+"""Reference-structure SourceSpecs driven through the real engine:
+the austria RIS bocListTable listing (austria:79-113) and the italy
+Garante backwards pager (italy:63-96) as registry plugins over fixture
+pages mimicking those DOMs."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _pages_table(rows):
+    return pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "html": pa.array([h for _, h in rows], pa.binary()),
+        "lang": pa.array(["de"] * len(rows), pa.string()),
+        "warc_ts": pa.array([0] * len(rows), pa.timestamp("us")),
+    })
+
+
+def _write(tmp, name, table):
+    p = str(tmp / name)
+    pq.write_table(table, p)
+    return p
+
+
+def _seeds(tmp, urls):
+    return _write(tmp, "seeds.parquet", pa.table({
+        "url": pa.array(urls, pa.string()),
+        "seed_rank": pa.array(range(len(urls)), pa.int32()),
+    }))
+
+
+def _robots(tmp, hosts):
+    return _write(tmp, "robots.parquet", pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "disallow_prefixes": pa.array([[] for _ in hosts],
+                                      pa.list_(pa.string())),
+        "crawl_delay_ms": pa.array([0] * len(hosts), pa.int64()),
+    }))
+
+
+AT = "https://www.ris.bka.gv.at"
+
+
+def _boc_row(title, date, links):
+    cells = [f'<td class="bocListDataCell">c{i}</td>' for i in range(9)]
+    cells[2] = (f'<td class="bocListDataCell">'
+                f'<a title="{title}" href="#r">{title}</a></td>')
+    cells[4] = f'<td class="bocListDataCell">{date}</td>'
+    cells[8] = ('<td class="bocListDataCell">'
+                + "".join(f'<a href="{h}">doc</a>' for h in links) + "</td>")
+    return '<tr class="bocListDataRow">' + "".join(cells) + "</tr>"
+
+
+def _boc_page(rows, next_href=None):
+    pages = ""
+    if next_href:
+        pages = ('<ul class="Pages"><li>pos</li>'
+                 f'<li><a href="{next_href}">&gt;</a></li></ul>')
+    return (
+        '<html><body><table class="bocListTable">'
+        '<tbody class="bocListTableBody">' + "".join(rows)
+        + "</tbody></table>" + pages + "</body></html>").encode()
+
+
+def test_austria_listing_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the RIS structure: pdf doc links from cell
+    8 (decoys skipped), dd.mm.yyyy dates window-filtered at the
+    listing (pre-GDPR row never fetched), ul.Pages forward pager."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import AUSTRIA_SPEC
+
+    p1 = _boc_page([
+        _boc_row("Bescheid A", "15.03.2021",
+                 ["/Dokumente/decoy.html", "/Dokumente/docA.pdf"]),
+        _boc_row("Bescheid B", "01.01.2017", ["/Dokumente/docB.pdf"]),
+        _boc_row("Bescheid C", "10.06.2020", ["/Dokumente/docC.pdf"]),
+    ], next_href="/list?p=2")
+    p2 = _boc_page([
+        _boc_row("Bescheid D", "05.05.2019", ["/Dokumente/docD.pdf"]),
+    ], next_href="/list?p=1")                    # back-link: seen-dedup kills it
+    pdf = b"%PDF-1.4 stub"
+    pages = _pages_table([
+        (f"{AT}/list?p=1", p1), (f"{AT}/list?p=2", p2),
+        (f"{AT}/Dokumente/docA.pdf", pdf), (f"{AT}/Dokumente/docB.pdf", pdf),
+        (f"{AT}/Dokumente/docC.pdf", pdf), (f"{AT}/Dokumente/docD.pdf", pdf),
+        (f"{AT}/Dokumente/decoy.html", b"<html><body>x</body></html>"),
+    ])
+    out = str(tmp_path / "out")
+    summary = run_crawl(
+        _write(tmp_path, "pages.parquet", pages), _seeds(tmp_path, [f"{AT}/list?p=1"]),
+        _robots(tmp_path, ["www.ris.bka.gv.at"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: AUSTRIA_SPEC for h in AUSTRIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert fetched == {
+        f"{AT}/list?p=1", f"{AT}/list?p=2", f"{AT}/Dokumente/docA.pdf",
+        f"{AT}/Dokumente/docC.pdf", f"{AT}/Dokumente/docD.pdf",
+    }  # no docB (pre-GDPR date filtered at the listing), no decoy (non-pdf)
+    assert summary["urls_fetched"] == 5
+    assert (log.set_index("url").loc[f"{AT}/Dokumente/docA.pdf", "kind"]
+            == "binary")
+
+
+IT = "https://www.garanteprivacy.it"
+
+
+def _garante_listing(doc_items, page_hrefs=None):
+    uls = "".join(
+        "<ul>" + "".join(
+            f'<li><a href="{h}">{t}</a></li>' for t, h in group)
+        + "</ul>"
+        for group in doc_items)
+    pag = ""
+    if page_hrefs:
+        items = (['<li class="page-item"><a href="#prev">&laquo;</a></li>']
+                 + [f'<li class="page-item"><a href="{h}">{i + 1}</a></li>'
+                    for i, h in enumerate(page_hrefs)]
+                 + ['<li class="page-item"><a href="#next">&raquo;</a></li>'])
+        pag = ('<ul class="pagination justify-content-center mt-3">'
+               + "".join(items) + "</ul>")
+    return (f'<html><body><div class="testo">{uls}</div>{pag}'
+            "</body></html>").encode()
+
+
+def _garante_doc(title):
+    return (f'<div class="content"><h1>{title}</h1>'
+            f"<p>Released 2021-03-15</p><p>testo del documento</p>"
+            "</div>").encode()
+
+
+def test_italy_backwards_pager_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the Garante structure: the pagination nav
+    is enumerated LAST page first (update_pagination_backwards), doc
+    links come from div.testo top-level uls, detail pages emit docs
+    via the default contract."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import ITALY_SPEC
+
+    base = _garante_listing(
+        [[("Intervista Uno", "/docs/d1")]],
+        page_hrefs=["/interviste?p=1", "/interviste?p=2", "/interviste?p=3"])
+    p1 = _garante_listing([[("Intervista Uno", "/docs/d1")]])
+    p2 = _garante_listing([[("Intervista Due", "/docs/d2")]])
+    p3 = _garante_listing([[("Intervista Tre", "/docs/d3"),
+                            ("Intervista Quattro", "/docs/d4")]])
+    pages = _pages_table([
+        (f"{IT}/interviste", base),
+        (f"{IT}/interviste?p=1", p1), (f"{IT}/interviste?p=2", p2),
+        (f"{IT}/interviste?p=3", p3),
+        (f"{IT}/docs/d1", _garante_doc("Intervista Uno")),
+        (f"{IT}/docs/d2", _garante_doc("Intervista Due")),
+        (f"{IT}/docs/d3", _garante_doc("Intervista Tre")),
+        (f"{IT}/docs/d4", _garante_doc("Intervista Quattro")),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{IT}/interviste"]),
+        _robots(tmp_path, ["www.garanteprivacy.it"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: ITALY_SPEC for h in ITALY_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas().set_index("url")
+    ranks = log["pop_rank"]
+    # backwards enumeration: page 3 fetched before 2 before 1
+    assert ranks[f"{IT}/interviste?p=3"] < ranks[f"{IT}/interviste?p=2"] \
+        < ranks[f"{IT}/interviste?p=1"]
+    # the seed's doc link outranks the pager (results before out_links)
+    assert ranks[f"{IT}/docs/d1"] < ranks[f"{IT}/interviste?p=3"]
+    docs = finalize_docs(out).to_pandas()
+    assert set(docs["title"]) == {"Intervista Uno", "Intervista Due",
+                                  "Intervista Tre", "Intervista Quattro"}
+    # detail text via the default contract (byte-stable invariant)
+    assert docs.set_index("title").loc["Intervista Due", "text"] \
+        == "Intervista Due\nReleased 2021-03-15\ntesto del documento"
+
+
+def test_parsers_standalone():
+    """Unit: DOM → ParsedPage without the engine."""
+    from crawler_ray.sources.specs import austria_page_parser, italy_page_parser
+    ap = austria_page_parser(_boc_page(
+        [_boc_row("T1", "15.03.2021", ["/a.pdf"])], next_href="/p2"))
+    assert ap.kind == "listing"
+    assert ap.results == [("T1", "15.03.2021", "/a.pdf")]
+    assert ap.next_href == "/p2"
+    ip = italy_page_parser(_garante_listing(
+        [[("D1", "/d1")], [("D2", "/d2")]], page_hrefs=["/p1", "/p2"]))
+    assert ip.results == [("D1", "", "/d1"), ("D2", "", "/d2")]
+    assert ip.out_links == ["/p2", "/p1"]
+    # non-listing payloads take the default contract path
+    det = austria_page_parser(b'<div class="content"><p>hi</p></div>')
+    assert det.kind == "detail" and det.text == "hi"

@@ -130,6 +130,32 @@ def test_markdown_and_stopword_sinks(tmp_path):
     assert open(str(tmp_path / "sw.txt")).read() == "alpha\nbeta\n"
 
 
+def test_reachability_svg_export(tmp_path):
+    """S8: conformance table → colored reachability tree SVG
+    (reference export_reachability_analysis_service:32-74 parity:
+    filled nodes, white-on-black failures, parent→child edges)."""
+    import pandas as pd
+
+    from crawler_ray.sinks import export_reachability_svg
+    report = pd.DataFrame([
+        {"host": "good.example", "seed_ok": True, "empty_listings": 0,
+         "empty_details": 0, "n_other": 0, "status": "WHITE"},
+        {"host": "broken.example", "seed_ok": False, "empty_listings": 2,
+         "empty_details": 0, "n_other": 1, "status": "BLACK"},
+    ])
+    p = export_reachability_svg(report, str(tmp_path / "reach.svg"))
+    svg = open(p).read()
+    assert svg.startswith("<svg ") and svg.rstrip().endswith("</svg>")
+    assert "good.example" in svg and "broken.example" in svg
+    # failed host renders as the reference's white-on-black node
+    assert 'fill="black"' in svg and 'fill="white"' in svg
+    # mixed statuses → GREY root (Color.GREY = lightgrey)
+    assert 'fill="lightgrey"' in svg
+    # deterministic output
+    p2 = export_reachability_svg(report, str(tmp_path / "reach2.svg"))
+    assert open(p2).read() == svg
+
+
 def test_csv_seed_loader(tmp_path):
     from crawler_ray.pipelines.crawl import _load_seeds
     p = tmp_path / "seeds.csv"
