@@ -105,6 +105,16 @@ def _dedup_ngram(sf_dir: str):
                                threshold=0.5)
 
 
+def _dedup_components(sf_dir: str):
+    """Duplicate-cluster assignment: exact-Jaccard near-dup pairs →
+    distributed hash-min connected components; singleton docs keep
+    their own id as the component label."""
+    from crawler_ray.dedup import dup_components, ngram_jaccard_pairs
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dup_components(pairs, _ds(sf_dir, "documents", ["doc_id"]))
+
+
 def _dedup_embedding(sf_dir: str):
     from crawler_ray.dedup import embedding_dup_pairs
     return embedding_dup_pairs(_ds(sf_dir, "embeddings"),
@@ -179,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": A.sessionize,
         "stopwords_by_source": A.stopwords_by_source,
         "stopwords_global": A.stopwords_global,
+        # training-data cleaning / reproducibility ops
+        "doc_pii_redact": A.doc_pii_query,
+        "doc_split": A.doc_split_query,
+        "doc_filter_quality": A.doc_filter_query,
         # text analysis (M15-M23 + training-data ops)
         "doc_keywords": A.doc_keywords_query,
         "doc_enrich": A.doc_enrich_query,
@@ -200,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
+        "dedup_components": _dedup_components,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         # similarity search
@@ -234,6 +249,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": A.SESSIONIZE_SQL,
         "stopwords_by_source": A.STOPWORDS_SQL,
         "stopwords_global": A.STOPWORDS_GLOBAL_SQL,
+        "doc_pii_redact": A.DOC_PII_SQL,
+        "doc_split": A.DOC_SPLIT_SQL,
+        "doc_filter_quality": A.DOC_FILTER_SQL,
         "doc_stats": A.DOC_STATS_SQL,
         "doc_tokens": A.DOC_TOKENS_SQL,
         "doc_quality": A.DOC_QUALITY_SQL,
@@ -265,6 +283,39 @@ ix AS (
 SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
 FROM ix JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
 WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+""",
+        # components over the same exact-Jaccard pair criterion:
+        # recursive min-label reachability (singletons label themselves)
+        "dedup_components": """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+                                         i -> substr(text, i, 5))) AS s
+    FROM documents WHERE length(text) >= 5
+    UNION ALL
+    SELECT doc_id, text AS s FROM documents WHERE length(text) BETWEEN 1 AND 4
+  )
+), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ix AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+prs AS (
+  SELECT a_id, b_id FROM ix
+  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM prs
+  UNION ALL SELECT b_id AS src, a_id AS dst FROM prs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS label FROM documents
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
 """,
         "dedup_embedding": f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id

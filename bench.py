@@ -119,7 +119,8 @@ def run_queries(sf_dir: str) -> dict:
     wanted = [
         "q1_pricing_summary", "revenue_by_nation", "top_parts_by_revenue",
         "events_hourly", "sessionize", "stopwords_by_source",
-        "doc_stats", "doc_quality", "doc_tokens", "doc_langid",
+        "stopwords_global", "doc_stats", "doc_quality", "doc_tokens",
+        "doc_langid", "doc_pii_redact", "doc_split", "doc_filter_quality",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
         "dedup_embedding_lsh", "knn_cosine", "knn_lsh", "media_features",
         "crawl_reachable",

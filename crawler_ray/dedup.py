@@ -47,7 +47,7 @@ from crawler_ray.functions.textops import shingle_hashes_fast
 __all__ = [
     "exact_dedup", "MinHashStage", "minhash_lsh_pairs", "SimHashStage",
     "simhash_pairs", "ngram_jaccard_pairs", "embedding_dup_pairs",
-    "embedding_dup_pairs_lsh",
+    "embedding_dup_pairs_lsh", "dup_components",
 ]
 
 
@@ -114,10 +114,24 @@ def _key_coarse(ids: np.ndarray) -> np.ndarray:
     return (h % np.uint64(_N_COARSE)).astype(np.int64)
 
 
+def _coalesce_small(ds: "ray.data.Dataset", max_rows: int = 1_000_000,
+                    target_blocks: int = 16) -> "ray.data.Dataset":
+    """Ray Data's sort-based shuffle pays per-block bookkeeping that
+    dwarfs small inputs (measured: a 64-block 80k-row groupby costs
+    ~2 s; the same rows in 8 blocks, 0.24 s). Materialized tables
+    about to be shuffled therefore coalesce to a few blocks when they
+    are small; big tables — where block count is row-bound and the
+    parallelism is needed — pass through untouched. ``ds`` must be
+    materialized (count/num_blocks are then metadata lookups)."""
+    if ds.num_blocks() > target_blocks and ds.count() <= max_rows:
+        return ds.repartition(target_blocks).materialize()
+    return ds
+
+
 def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
                  *, key_col: str, blob_key: str, blob_col: str,
-                 out_col: str, carry_binary: tuple[str, ...] = ()
-                 ) -> "ray.data.Dataset":
+                 out_col: str, carry_binary: tuple[str, ...] = (),
+                 dedup_pairs: bool = False) -> "ray.data.Dataset":
     """Distributed hash-join of a candidate-pair table against an
     ``(id, blob)`` table — the scale path for every dedup verify
     stage. Both sides shuffle on ``hash(key) % _N_COARSE``; inside
@@ -131,6 +145,12 @@ def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
     ``pairs`` must have int64 ``a_id``/``b_id`` plus any
     ``carry_binary`` binary columns from a previous attach; ``blobs``
     has ``(blob_key int64, blob_col binary)``, one row per id.
+
+    ``dedup_pairs=True`` drops duplicate (a_id, b_id) rows inside the
+    resolve — valid whenever ``key_col`` is one of the pair ids
+    (identical pairs share the key, so they always meet in the same
+    coarse group), and it saves candidate generators a whole
+    dedicated dedup shuffle.
     """
     other_id = "b_id" if key_col == "a_id" else "a_id"
 
@@ -180,6 +200,8 @@ def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
                 "b_id": pa.array([], pa.int64()),
                 **{c: pa.array([], pa.binary())
                    for c in (*carry_binary, out_col)}})
+        if dedup_pairs:
+            p = p.drop_duplicates(["a_id", "b_id"])
         pk = p[key_col].to_numpy().astype(np.int64)
         idx = np.minimum(np.searchsorted(bkeys, pk), len(bkeys) - 1)
         ok = bkeys[idx] == pk
@@ -336,11 +358,12 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
     pair volume, not corpus volume, bounds the verify, and no state
     ever passes through the driver."""
     n_perms = n_bands * rows_per_band
-    sig = ds.map_batches(MinHashStage, batch_format="pyarrow",
-                         fn_constructor_kwargs={
-                             "n_perms": n_perms, "k": k, "seed": seed,
-                             "text_col": text_col, "id_col": id_col},
-                         concurrency=(1, 8)).materialize()
+    sig = _coalesce_small(
+        ds.map_batches(MinHashStage, batch_format="pyarrow",
+                       fn_constructor_kwargs={
+                           "n_perms": n_perms, "k": k, "seed": seed,
+                           "text_col": text_col, "id_col": id_col},
+                       concurrency=(1, 8)).materialize())
 
     def band_rows_coarse(batch: pa.Table) -> pa.Table:
         t = _band_rows(batch, n_bands, rows_per_band, id_col)
@@ -356,17 +379,13 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
         _bucket_pairs, batch_format="pandas",
         fn_kwargs={"id_col": id_col, "max_bucket": max_bucket})
 
-    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a_id", "b_id"])[["a_id", "b_id"]]
-
-    uniq = pairs.map_batches(_pair_coarse, batch_format="pandas") \
-                .groupby("pair_coarse") \
-                .map_groups(dedup_pairs_group, batch_format="pandas")
-
     # verify: hash-join pairs ⋈ signatures (twice, a- then b-side) —
-    # distributed, pair-volume bounded, zero driver-side state
-    w = _attach_blob(uniq, sig, key_col="a_id", blob_key=id_col,
-                     blob_col="minhash", out_col="_sig_a")
+    # distributed, pair-volume bounded, zero driver-side state. The
+    # global (a_id, b_id) dedup rides the first join's shuffle
+    # (same a_id ⇒ same coarse group) instead of its own stage.
+    w = _attach_blob(pairs, sig, key_col="a_id", blob_key=id_col,
+                     blob_col="minhash", out_col="_sig_a",
+                     dedup_pairs=True)
     w = _attach_blob(w, sig, key_col="b_id", blob_key=id_col,
                      blob_col="minhash", out_col="_sig_b",
                      carry_binary=("_sig_a",))
@@ -503,16 +522,17 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         return g.drop_duplicates(["a_id", "b_id"])[
             ["a_id", "b_id", "hamming"]]
 
-    return (ds.map_batches(SimHashStage, batch_format="pyarrow",
-                           fn_constructor_kwargs={"text_col": text_col,
-                                                  "id_col": id_col},
-                           concurrency=(1, 8))
-              .map_batches(chunk_rows, batch_format="pyarrow")
-              .groupby("coarse")
-              .map_groups(verify, batch_format="pandas")
-              .map_batches(_pair_coarse, batch_format="pandas")
-              .groupby("pair_coarse")
-              .map_groups(dedup_pairs_group, batch_format="pandas"))
+    sim = _coalesce_small(
+        ds.map_batches(SimHashStage, batch_format="pyarrow",
+                       fn_constructor_kwargs={"text_col": text_col,
+                                              "id_col": id_col},
+                       concurrency=(1, 8)).materialize())
+    return (sim.map_batches(chunk_rows, batch_format="pyarrow")
+               .groupby("coarse")
+               .map_groups(verify, batch_format="pandas")
+               .map_batches(_pair_coarse, batch_format="pandas")
+               .groupby("pair_coarse")
+               .map_groups(dedup_pairs_group, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------
@@ -546,8 +566,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
 
     # materialized once (distributed blocks, spillable): both attach
     # passes read it without recomputing the shingling
-    sets_ds = ds.map_batches(shingle_sets,
-                             batch_format="pyarrow").materialize()
+    sets_ds = _coalesce_small(
+        ds.map_batches(shingle_sets, batch_format="pyarrow").materialize())
     w = _attach_blob(cand, sets_ds, key_col="a_id", blob_key=id_col,
                      blob_col="shingles", out_col="_sh_a")
     w = _attach_blob(w, sets_ds, key_col="b_id", blob_key=id_col,
@@ -572,6 +592,156 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
                          "jaccard": pa.array(jac[keep])})
 
     return w.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# duplicate-cluster connected components
+# --------------------------------------------------------------------------
+
+def _local_union_find(pairs: "ray.data.Dataset") -> dict[int, int]:
+    """Min-root union-find over a pair Dataset small enough to walk in
+    one pass (streamed block-by-block — never a driver pandas copy).
+    Returns {node: min_id_of_component} for TOUCHED nodes only."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for blk in pairs.iter_batches(batch_format="pyarrow"):
+        a = blk["a_id"].to_numpy(zero_copy_only=False)
+        b = blk["b_id"].to_numpy(zero_copy_only=False)
+        for x, y in zip(a, b):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:                      # min id becomes the root
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+    return {x: find(x) for x in list(parent)}
+
+
+def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
+                   id_col: str = "doc_id", max_iters: int = 32,
+                   local_threshold: int = 5_000_000
+                   ) -> "ray.data.Dataset":
+    """Connected components over a near-duplicate pair list — the op
+    that turns pairwise dedup output into keep/drop decisions (keep
+    one doc per component). Distributed hash-min label propagation:
+    every node starts labeled with its own id; each round, labels flow
+    across edges and every node keeps the minimum it has seen. Rounds
+    = cluster diameter (tiny for dup clusters — the star-collapse in
+    the candidate stages bounds it), detected by the monotone label
+    sum going stationary, so no driver-side graph state ever exists:
+    per round it is two coarse-hash shuffles of (edges + labels), both
+    bounded by pair volume + node count.
+
+    ``pairs``: (a_id, b_id) rows. ``ids``: every node (singletons keep
+    their own id as component). Returns (id_col, component).
+
+    Adaptive execution: near-dup pair volume is bounded (star-collapse
+    in the candidate stages caps it at O(dup rate · corpus)), so when
+    the pair list fits one task (≤ ``local_threshold``) the components
+    are solved by a single union-find and the resulting touched-node
+    label map — itself pair-bounded — is broadcast (``ray.put``) into
+    a ``map_batches`` over the ids. The label-propagation loop below
+    is the path for graphs too big for that."""
+    pairs = pairs.materialize()
+    if pairs.count() <= local_threshold:
+        lookup = _local_union_find(pairs)
+        lookup_ref = ray.put(lookup)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            comp = np.array([lk.get(int(x), int(x)) for x in v],
+                            dtype=np.int64)
+            return pa.table({id_col: batch[id_col],
+                             "component": pa.array(comp)})
+
+        return ids.select_columns([id_col]).map_batches(
+            assign, batch_format="pyarrow")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "src": pa.array(src), "dst": pa.array(dst),
+            "lab": pa.nulls(len(src), pa.int64()),
+            "role": pa.array(np.ones(len(src), np.int8)),
+            "coarse": pa.array(_key_coarse(src)),
+        })
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        return pa.table({
+            "src": pa.array(v), "dst": pa.nulls(n, pa.int64()),
+            "lab": pa.array(v),
+            "role": pa.array(np.zeros(n, np.int8)),
+            "coarse": pa.array(_key_coarse(v)),
+        })
+
+    labels = (ids.select_columns([id_col])
+              .map_batches(init_labels, batch_format="pyarrow")
+              .materialize())
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab_mask = g["role"].to_numpy() == 0
+        lk = g.loc[lab_mask, "src"].to_numpy().astype(np.int64)
+        lv = g.loc[lab_mask, "lab"].to_numpy().astype(np.int64)
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        e = g[~lab_mask]
+        out_id = [lk]
+        out_lab = [lv]
+        if len(e) and len(lk):
+            src = e["src"].to_numpy().astype(np.int64)
+            idx = np.minimum(np.searchsorted(lk, src), len(lk) - 1)
+            ok = lk[idx] == src
+            out_id.append(e["dst"].to_numpy().astype(np.int64)[ok])
+            out_lab.append(lv[idx[ok]])
+        ids_o = np.concatenate(out_id)
+        labs_o = np.concatenate(out_lab)
+        return pd.DataFrame({"id": ids_o, "lab": labs_o,
+                             "c2": _key_coarse(ids_o)})
+
+    def minimize(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("id", as_index=False)["lab"].min()
+        mid = m["id"].to_numpy().astype(np.int64)
+        return pa.table({             # Arrow, so union(edges) type-matches
+            "src": pa.array(mid),
+            "dst": pa.nulls(len(m), pa.int64()),
+            "lab": pa.array(m["lab"].to_numpy().astype(np.int64)),
+            "role": pa.array(np.zeros(len(m), np.int8)),
+            "coarse": pa.array(_key_coarse(mid)),
+        })
+
+    prev = None
+    for _ in range(max_iters):
+        cur = labels.sum("lab")
+        if cur == prev:
+            break
+        prev = cur
+        labels = (edges.union(labels)
+                  .groupby("coarse")
+                  .map_groups(propagate, batch_format="pandas")
+                  .groupby("c2")
+                  .map_groups(minimize, batch_format="pandas")
+                  .materialize())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["src"],
+                         "component": batch["lab"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -625,7 +795,8 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     recall-complete (cos 0.45 ⇒ ~0.35 disagreement per bit). At high
     thresholds (≥ ~0.9) use :func:`embedding_dup_pairs_lsh`, the
     sub-quadratic scale path."""
-    norm = _norm_vec_blocks(ds, vec_col, id_col).materialize()
+    norm = _coalesce_small(
+        _norm_vec_blocks(ds, vec_col, id_col).materialize())
     refs = norm.to_arrow_refs()   # refs only — blocks stay put
 
     def block_pairs(batch: pa.Table) -> pa.Table:
@@ -676,7 +847,8 @@ def embedding_dup_pairs_lsh(ds: "ray.data.Dataset",
     configuration."""
     from crawler_ray.similarity import hyperplane_codes
 
-    norm = _norm_vec_blocks(ds, vec_col, id_col).materialize()
+    norm = _coalesce_small(
+        _norm_vec_blocks(ds, vec_col, id_col).materialize())
     planes_holder: dict = {}
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
@@ -709,15 +881,10 @@ def embedding_dup_pairs_lsh(ds: "ray.data.Dataset",
                          fn_kwargs={"id_col": id_col,
                                     "max_bucket": max_bucket}))
 
-    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a_id", "b_id"])[["a_id", "b_id"]]
-
-    uniq = pairs.map_batches(_pair_coarse, batch_format="pandas") \
-                .groupby("pair_coarse") \
-                .map_groups(dedup_pairs_group, batch_format="pandas")
-
-    w = _attach_blob(uniq, norm, key_col="a_id", blob_key=id_col,
-                     blob_col="vec", out_col="_v_a")
+    # global (a_id, b_id) dedup rides the first join's shuffle (same
+    # a_id ⇒ same coarse group) — no dedicated dedup stage
+    w = _attach_blob(pairs, norm, key_col="a_id", blob_key=id_col,
+                     blob_col="vec", out_col="_v_a", dedup_pairs=True)
     w = _attach_blob(w, norm, key_col="b_id", blob_key=id_col,
                      blob_col="vec", out_col="_v_b",
                      carry_binary=("_v_a",))

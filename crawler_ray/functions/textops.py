@@ -28,8 +28,9 @@ import pyarrow.compute as pc
 
 __all__ = [
     "WORD_RE", "TOKEN_RE", "SENT_RE", "PUNCT_RE", "DIGIT_RE", "ALPHA_RE",
+    "EMAIL_RE", "PHONE_RE", "IPV4_RE",
     "text_stats", "token_counts", "quality_scores", "fingerprints",
-    "rolling_hash_many", "shingle_hashes",
+    "rolling_hash_many", "shingle_hashes", "pii_redact", "hash_split",
 ]
 
 # RE2-safe patterns, shared verbatim with the DuckDB oracles.
@@ -42,6 +43,11 @@ ALPHA_RE = r"[A-Za-z]"
 
 WORDS_PER_MIN = 265.0     # est_read_time_meta_service.py:7
 CHARS_PER_PAGE = 3000.0   # statistics_metadata_service page_count rule
+
+# PII patterns (RE2-safe, shared verbatim with the DuckDB oracle)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
 
 def _count(col: pa.ChunkedArray | pa.Array, pattern: str) -> np.ndarray:
@@ -189,6 +195,63 @@ def shingle_hashes_fast(text: str, k: int = 5) -> np.ndarray:
         for j in range(k):
             out += v[j:j + n - k + 1] * pows[k - 1 - j]
     return out
+
+
+def pii_redact(batch: pa.Table, text_col: str = "text",
+               id_col: str = "doc_id") -> pa.Table:
+    """PII detection + redaction (training-data cleaning op): emails,
+    phone numbers and IPv4 literals are counted and replaced by typed
+    placeholders, **sequentially** (emails first, then phones on the
+    email-redacted text, then IPs) so the count/replace composition
+    is a fixed operation tree the DuckDB oracle reproduces exactly.
+    All work on Arrow RE2 kernels; the md5 of the redacted text is
+    emitted instead of the text so the result row stays small and the
+    oracle can still verify the full redaction byte-for-byte."""
+    import hashlib
+    text = batch[text_col]
+    n_emails = _count(text, EMAIL_RE)
+    t1 = pc.replace_substring_regex(text, pattern=EMAIL_RE,
+                                    replacement="<EMAIL>")
+    n_phones = _count(t1, PHONE_RE)
+    t2 = pc.replace_substring_regex(t1, pattern=PHONE_RE,
+                                    replacement="<PHONE>")
+    n_ipv4 = _count(t2, IPV4_RE)
+    t3 = pc.replace_substring_regex(t2, pattern=IPV4_RE,
+                                    replacement="<IP>")
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in t3.to_pylist()]
+    return pa.table({
+        id_col: batch[id_col],
+        "n_emails": pa.array(n_emails),
+        "n_phones": pa.array(n_phones),
+        "n_ipv4": pa.array(n_ipv4),
+        "redacted_md5": pa.array(md5s, pa.string()),
+    })
+
+
+# train/val/test thresholds on the first md5 hex byte, compared AS
+# 2-char lowercase hex strings (lexicographic == numeric for fixed
+# width, so the same CASE works in SQL): 'cd' = 205/256 ≈ 80 %,
+# 'e6' = 230/256 ≈ 90 %.
+SPLIT_TRAIN_HI = "cd"
+SPLIT_VAL_HI = "e6"
+
+
+def hash_split(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (the standard reproducible-split op for training
+    pipelines): bucket = first md5 hex byte of the stringified id —
+    stable across runs, engines, and row order."""
+    import hashlib
+    ids = batch[id_col].to_pylist()
+    buckets = [hashlib.md5(str(i).encode()).hexdigest()[:2] for i in ids]
+    split = ["train" if b < SPLIT_TRAIN_HI
+             else "val" if b < SPLIT_VAL_HI else "test" for b in buckets]
+    return pa.table({
+        id_col: batch[id_col],
+        "bucket_hex": pa.array(buckets, pa.string()),
+        "split": pa.array(split, pa.string()),
+    })
 
 
 def fingerprints(batch: pa.Table, text_col: str = "text",

@@ -34,7 +34,8 @@ import pyarrow.compute as pc
 import ray
 
 from crawler_ray.functions.textops import (
-    ALPHA_RE, DIGIT_RE, PUNCT_RE, SENT_RE, TOKEN_RE, WORD_RE,
+    ALPHA_RE, DIGIT_RE, EMAIL_RE, IPV4_RE, PHONE_RE, PUNCT_RE, SENT_RE,
+    TOKEN_RE, WORD_RE,
 )
 
 __all__ = [
@@ -614,6 +615,97 @@ def doc_quality_query(sf_dir: str) -> "ray.data.Dataset":
 DOC_MD5_SQL = """
 SELECT doc_id, md5(text) AS content_md5 FROM documents
 """
+
+# PII redaction (sequential email → phone → ip, matching
+# functions/textops.pii_redact's fixed operation tree). Concatenated,
+# not an f-string: EMAIL_RE contains a {2,} quantifier.
+DOC_PII_SQL = (
+    "WITH s1 AS (\n"
+    "  SELECT doc_id,\n"
+    "    length(regexp_extract_all(text, '" + EMAIL_RE + "')) AS n_emails,\n"
+    "    regexp_replace(text, '" + EMAIL_RE + "', '<EMAIL>', 'g') AS t1\n"
+    "  FROM documents\n"
+    "), s2 AS (\n"
+    "  SELECT doc_id, n_emails,\n"
+    "    length(regexp_extract_all(t1, '" + PHONE_RE + "')) AS n_phones,\n"
+    "    regexp_replace(t1, '" + PHONE_RE + "', '<PHONE>', 'g') AS t2\n"
+    "  FROM s1\n"
+    ")\n"
+    "SELECT doc_id, n_emails, n_phones,\n"
+    "  length(regexp_extract_all(t2, '" + IPV4_RE + "')) AS n_ipv4,\n"
+    "  md5(regexp_replace(t2, '" + IPV4_RE + "', '<IP>', 'g'))"
+    " AS redacted_md5\n"
+    "FROM s2\n")
+
+
+def doc_pii_query(sf_dir: str) -> "ray.data.Dataset":
+    from crawler_ray.functions.textops import pii_redact
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(pii_redact, batch_format="pyarrow"))
+
+
+DOC_SPLIT_SQL = """
+SELECT doc_id,
+  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_hex,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def doc_split_query(sf_dir: str) -> "ray.data.Dataset":
+    from crawler_ray.functions.textops import hash_split
+    return (_read(sf_dir, "documents", columns=["doc_id"])
+            .map_batches(hash_split, batch_format="pyarrow"))
+
+
+# C4-style quality filter: the pipeline form of doc_quality — keep
+# documents whose measured signals clear fixed thresholds (the ratios
+# are the bit-exact expressions already verified by doc_quality).
+DOC_FILTER_SQL = rf"""
+WITH q AS (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+    length(regexp_extract_all(text, '{ALPHA_RE}'))
+      / greatest(length(text), 1) AS alpha_ratio,
+    length(regexp_extract_all(text, '{PUNCT_RE}'))
+      / greatest(length(text), 1) AS punct_ratio,
+    length(regexp_extract_all(text, '{ALPHA_RE}'))
+      / greatest(length(regexp_extract_all(text, '{WORD_RE}')), 1)
+      AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, n_words, alpha_ratio, mean_word_len FROM q
+WHERE n_words >= 50 AND alpha_ratio >= 0.6 AND punct_ratio <= 0.2
+  AND mean_word_len BETWEEN 3 AND 12
+"""
+
+
+def doc_filter_query(sf_dir: str) -> "ray.data.Dataset":
+    """Predicate-pushdown form of the quality filter: the signals are
+    computed per batch and the filter applied inside the same
+    map_batches, so dropped rows never leave the stage."""
+    from crawler_ray.functions.textops import (WORD_RE, _count,
+                                               quality_scores)
+
+    def fil(batch: pa.Table) -> pa.Table:
+        q = quality_scores(batch)
+        n_words = _count(batch["text"], WORD_RE)
+        alpha = q["alpha_ratio"].to_numpy(zero_copy_only=False)
+        punct = q["punct_ratio"].to_numpy(zero_copy_only=False)
+        mwl = q["mean_word_len"].to_numpy(zero_copy_only=False)
+        keep = ((n_words >= 50) & (alpha >= 0.6) & (punct <= 0.2)
+                & (mwl >= 3) & (mwl <= 12))
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "n_words": pa.array(n_words[keep]),
+            "alpha_ratio": pa.array(alpha[keep]),
+            "mean_word_len": pa.array(mwl[keep]),
+        })
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(fil, batch_format="pyarrow"))
 
 
 def doc_md5_query(sf_dir: str) -> "ray.data.Dataset":

@@ -113,6 +113,28 @@ def test_knn_lsh_recall_floor(ray_session):
     assert knn_recall("/root/testdata/sf0.01") >= 0.9
 
 
+def test_dup_components_both_paths(ray_session):
+    """Connected components over a pair list: the single-task
+    union-find fast path and the distributed hash-min label
+    propagation must produce identical components."""
+    import pyarrow as pa
+    import ray
+
+    from crawler_ray.dedup import dup_components
+    # components: {1,2,3,9} (chain incl. 9-1), {5,6}, singles 4,7,8
+    pairs = ray.data.from_arrow(pa.table({
+        "a_id": pa.array([1, 2, 5, 9], pa.int64()),
+        "b_id": pa.array([2, 3, 6, 1], pa.int64()),
+    }))
+    ids = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, 10)), pa.int64())}))
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 1}
+    fast = dup_components(pairs, ids).to_pandas()
+    assert dict(zip(fast["doc_id"], fast["component"])) == want
+    dist = dup_components(pairs, ids, local_threshold=0).to_pandas()
+    assert dict(zip(dist["doc_id"], dist["component"])) == want
+
+
 def test_media_pipeline_deterministic(ray_session):
     import ray
 
