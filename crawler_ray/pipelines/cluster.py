@@ -41,30 +41,49 @@ def _doc_terms(text: str | None) -> Counter:
 def build_vocab(ds: "ray.data.Dataset", vocab_size: int = 256,
                 text_col: str = "text") -> tuple[list[str], np.ndarray, int]:
     """Top-``vocab_size`` terms by document frequency (ties: term asc)
-    + idf vector + corpus size. Partial df Counters per batch; only
-    (term, df, n_docs) rows leave the workers."""
+    + idf vector + corpus size — fully distributed: per-batch df
+    partials → 64-way term-hash groups (each term lives wholly in one
+    group, so the global top-``vocab_size`` ⊆ union of per-group
+    top-``vocab_size``) → driver folds only ≤ 64·vocab_size candidate
+    rows. The corpus doc count rides the same shuffle as a sentinel
+    empty-term row (the word regex never yields one), so no second
+    pass over the corpus is needed."""
+    import zlib
+
+    import pandas as pd
+
     def partial(batch: pa.Table) -> pa.Table:
         df: Counter = Counter()
         for text in batch[text_col].to_pylist():
             df.update(_doc_terms(text).keys())
         items = sorted(df.items())
+        terms = [t for t, _ in items] + [""]
+        counts = [c for _, c in items] + [batch.num_rows]
         return pa.table({
-            "term": pa.array([t for t, _ in items], pa.string()),
-            "df": pa.array([c for _, c in items], pa.int64()),
-            "n_docs": pa.array([batch.num_rows] * len(items), pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(counts, pa.int64()),
+            "_c": pa.array([zlib.crc32(t.encode()) % 64 for t in terms],
+                           pa.int64()),
         })
 
-    df: Counter = Counter()
-    n_docs = 0
-    for ref in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            n_docs += int(t["n_docs"][0].as_py())
-        for term, c in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            df[term] += c
-    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
-    vocab = [t for t, _ in top]
-    dfs = np.array([c for _, c in top], dtype=np.float64)
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("term", as_index=False)["df"].sum()
+        sent = m[m["term"] == ""]
+        top = (m[m["term"] != ""]
+               .sort_values(["df", "term"], ascending=[False, True],
+                            kind="mergesort").head(vocab_size))
+        return pd.concat([top, sent])[["term", "df"]]
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_c")
+            .map_groups(per_group, batch_format="pandas")
+            .to_pandas())                    # ≤ 64·vocab_size + 1 rows
+    n_docs = int(cand.loc[cand["term"] == "", "df"].sum())
+    top = (cand[cand["term"] != ""]
+           .sort_values(["df", "term"], ascending=[False, True],
+                        kind="mergesort").head(vocab_size))
+    vocab = list(top["term"])
+    dfs = top["df"].to_numpy().astype(np.float64)
     idf = np.log((1.0 + n_docs) / (1.0 + dfs)) + 1.0
     return vocab, idf, n_docs
 

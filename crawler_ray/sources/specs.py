@@ -2,7 +2,7 @@
 
 The registry (``registry.py``) is the plugin surface; this module
 proves it carries the reference's actual listing structures by
-implementing two of the hand-written scrapers as ``page_parser``
+implementing three of the hand-written scrapers as ``page_parser``
 callables over their real DOM shapes:
 
 - **Austria / RIS** (``pygdpr/models/dpa/austria/__init__.py:79-113``):
@@ -26,7 +26,12 @@ callables over their real DOM shapes:
   frontier (ordered by discovery index ``dom_idx``) fetches them
   backwards.
 
-Both parsers fall back to the engine's default contract
+- **EDPB** (``pygdpr/models/dpa/edpb/__init__.py:217-266``): Drupal
+  view rows — ``div.view-content`` → ``div.views-row``, date in
+  ``span.news-date``, doc link in ``h4.node__title > a`` with the
+  title in its inner ``span``.
+
+All parsers fall back to the engine's default contract
 (:func:`crawler_ray.extract.parse_page`) when the page does not
 contain their listing structure, so detail pages on the same hosts
 keep the byte-identical text invariant.
@@ -39,8 +44,9 @@ from html.parser import HTMLParser
 from crawler_ray.extract import ParsedPage, parse_page
 from crawler_ray.sources.registry import SourceSpec, register
 
-__all__ = ["austria_page_parser", "italy_page_parser", "AUSTRIA_SPEC",
-           "ITALY_SPEC", "register_reference_specs"]
+__all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
+           "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC",
+           "register_reference_specs"]
 
 
 def _classes(attrs) -> list[str]:
@@ -212,6 +218,77 @@ def italy_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+class _EdpbListing(HTMLParser):
+    """EDPB guideline-listing scanner (edpb:217-260 semantics):
+    ``div.view-content`` → ``div.views-row`` rows, each with a
+    ``span.news-date`` date and an ``h4.node__title > a`` doc link
+    whose inner ``span`` is the title."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self._depth = 0
+        self._in_content = False
+        self._row_depth: int | None = None
+        self._row_date: list[str] | None = None
+        self._row_href: str | None = None
+        self._row_title: list[str] | None = None
+        self._capture: list[str] | None = None
+        self._in_title_h4 = False
+        self._in_title_a = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "view-content" in cls:
+            self._in_content = True
+        elif tag == "div" and self._in_content and "views-row" in cls:
+            self._row_depth = self._depth
+            self._row_date, self._row_href, self._row_title = [], None, []
+        elif self._row_depth is not None:
+            if tag == "span" and "news-date" in cls:
+                self._capture = self._row_date       # edpb:236-240
+            elif tag == "h4" and "node__title" in cls:
+                self._in_title_h4 = True
+            elif tag == "a" and self._in_title_h4 and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # edpb:248-252
+                self._in_title_a = True
+            elif tag == "span" and self._in_title_a:
+                self._capture = self._row_title      # edpb:262-266
+
+    def handle_endtag(self, tag):
+        if tag in ("span",):
+            self._capture = None
+        elif tag == "a":
+            self._in_title_a = False
+        elif tag == "h4":
+            self._in_title_h4 = False
+        elif tag == "div":
+            if self._row_depth == self._depth:
+                title = " ".join("".join(self._row_title or []).split())
+                date = " ".join("".join(self._row_date or []).split())
+                if title and self._row_href:
+                    self.results.append((title, date, self._row_href))
+                self._row_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._capture is not None:
+            self._capture.append(data)
+
+
+def edpb_page_parser(html: bytes | None) -> ParsedPage:
+    """EDPB listing parser; the date-string rides into the engine's
+    standard window filter (the reference hand-checks ``year < 2018``
+    in-loop, edpb:241-243 — the engine's GDPR window subsumes it)."""
+    if html and b"views-row" in html:
+        p = _EdpbListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results:
+            return ParsedPage(kind="listing", results=p.results)
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -232,7 +309,19 @@ ITALY_SPEC = SourceSpec(
 )
 
 
+EDPB_SPEC = SourceSpec(
+    source_id="edpb",
+    hosts=("edpb.europa.eu", "www.edpb.europa.eu"),
+    seed_urls=("https://edpb.europa.eu/our-work-tools/general-guidance/"
+               "guidelines-recommendations-best-practices_en",),
+    doc_types=("Guidelines", "Recommendations", "Best Practices"),
+    pagination="forward",
+    page_parser=edpb_page_parser,
+)
+
+
 def register_reference_specs() -> list[SourceSpec]:
-    """Register both reference-parity specs (call before building the
+    """Register the reference-parity specs (call before building the
     pipeline, or pass the returned specs via an explicit registry)."""
-    return [register(AUSTRIA_SPEC), register(ITALY_SPEC)]
+    return [register(AUSTRIA_SPEC), register(ITALY_SPEC),
+            register(EDPB_SPEC)]

@@ -178,6 +178,56 @@ def test_italy_backwards_pager_through_engine(ray_session, tmp_path):
         == "Intervista Due\nReleased 2021-03-15\ntesto del documento"
 
 
+EB = "https://edpb.europa.eu"
+
+
+def _edpb_listing(rows):
+    divs = "".join(
+        '<div class="views-row">'
+        f'<span class="news-date">{date}</span>'
+        f'<h4 class="node__title"><a href="{href}"><span>{title}</span></a>'
+        "</h4></div>"
+        for title, date, href in rows)
+    return (f'<html><body><div class="view-content">'
+            f'<div class="view-row-content">{divs}</div></div>'
+            "</body></html>").encode()
+
+
+def test_edpb_listing_through_engine(ray_session, tmp_path):
+    """Drupal view rows through the real engine: dated rows window-
+    filtered (the reference's year<2018 in-loop skip, subsumed by the
+    engine's GDPR window), doc pages fetched and emitted as docs."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import EDPB_SPEC
+
+    listing = _edpb_listing([
+        ("Guidelines 01/2021", "2021-03-15", "/g1"),
+        ("Old Guidance", "2016-01-01", "/g-old"),      # pre-GDPR: skipped
+        ("Recommendations 02/2020", "2020-06-10", "/g2"),
+    ])
+    doc = (b'<div class="content"><h1>Guidelines 01/2021</h1>'
+           b"<p>Released 2021-03-15</p><p>body</p></div>")
+    doc2 = (b'<div class="content"><h1>Recommendations 02/2020</h1>'
+            b"<p>Released 2020-06-10</p><p>body</p></div>")
+    pages = _pages_table([
+        (f"{EB}/list", listing), (f"{EB}/g1", doc), (f"{EB}/g2", doc2),
+        (f"{EB}/g-old", doc),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{EB}/list"]),
+        _robots(tmp_path, ["edpb.europa.eu"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: EDPB_SPEC for h in EDPB_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    assert set(log["url"]) == {f"{EB}/list", f"{EB}/g1", f"{EB}/g2"}
+    docs = finalize_docs(out).to_pandas()
+    assert set(docs["title"]) == {"Guidelines 01/2021",
+                                  "Recommendations 02/2020"}
+
+
 def test_parsers_standalone():
     """Unit: DOM → ParsedPage without the engine."""
     from crawler_ray.sources.specs import austria_page_parser, italy_page_parser
