@@ -82,6 +82,15 @@ def _knn_lsh(sf_dir: str):
     return knn_lsh(_ds(sf_dir, "embeddings"), q, ids, k=KNN_K)
 
 
+def _knn_ivf(sf_dir: str):
+    """IVF ANN (sample-trained coarse quantizer, n_probe of n_cells
+    scanned) — approximate by construction; bench.py measures its
+    recall@k against the exact sweep."""
+    from crawler_ray.similarity import knn_ivf
+    q, ids = _query_vectors(sf_dir)
+    return knn_ivf(_ds(sf_dir, "embeddings"), q, ids, k=KNN_K)
+
+
 def _dedup_exact(sf_dir: str):
     from crawler_ray.dedup import exact_dedup
     return exact_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]))
@@ -220,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _knn_brute,
         "knn_lsh": _knn_lsh,
+        "knn_ivf": _knn_ivf,
         # multimodal plumbing
         "media_features": _media_features,
         # the crawl engine itself (frontier/seen/politeness + byte-

@@ -122,8 +122,8 @@ def run_queries(sf_dir: str) -> dict:
         "stopwords_global", "doc_stats", "doc_quality", "doc_tokens",
         "doc_langid", "doc_pii_redact", "doc_split", "doc_filter_quality",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
-        "dedup_embedding_lsh", "knn_cosine", "knn_lsh", "media_features",
-        "crawl_reachable",
+        "dedup_embedding_lsh", "knn_cosine", "knn_lsh", "knn_ivf",
+        "media_features", "crawl_reachable",
     ]
     qs = E.queries()
     out = {}
@@ -142,13 +142,13 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
-def knn_recall(sf_dir: str) -> float:
-    """recall@k of the ANN path vs exact brute force (same queries) —
-    the number a user tunes ``n_probe_bits`` against."""
+def knn_recall(sf_dir: str, approx_name: str = "knn_lsh") -> float:
+    """recall@k of an ANN path vs exact brute force (same queries) —
+    the number a user tunes the probe knobs against."""
     import __ray_entry__ as E
     qs = E.queries()
     brute = qs["knn_cosine"](sf_dir).to_pandas()
-    approx = qs["knn_lsh"](sf_dir).to_pandas()
+    approx = qs[approx_name](sf_dir).to_pandas()
     b = set(map(tuple, brute.values))
     a = set(map(tuple, approx.values))
     return round(len(a & b) / len(b), 3) if b else 1.0
@@ -257,6 +257,7 @@ def main() -> None:
     crawl = _crawl("bench", f"crawl_{cpus}")
     queries = run_queries(sf_dir)
     recall = knn_recall(sf_dir)
+    recall_ivf = knn_recall(sf_dir, "knn_ivf")
     dedup_recall = embedding_dedup_recall(sf_dir)
     total = time.time() - t_total
     queries["crawl_bench_200k"] = crawl["sec"]
@@ -267,6 +268,7 @@ def main() -> None:
         "crawl_urls_per_sec": crawl["urls_per_sec"],
         "crawl": crawl,
         "knn_lsh_recall_at_10": recall,
+        "knn_ivf_recall_at_10": recall_ivf,
         "embedding_lsh_pair_recall": dedup_recall,
     }))
     ray.shutdown()

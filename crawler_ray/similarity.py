@@ -23,7 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-__all__ = ["knn_bruteforce", "knn_lsh", "hyperplane_codes"]
+__all__ = ["knn_bruteforce", "knn_lsh", "knn_ivf", "hyperplane_codes",
+           "train_ivf_centroids"]
 
 
 def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -81,6 +82,94 @@ def knn_bruteforce(ds: "ray.data.Dataset", queries: np.ndarray,
     parts = [ray.get(r) for r in
              ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()]
     return _merge_topk([p for p in parts if p.num_rows], k)
+
+
+def train_ivf_centroids(ds: "ray.data.Dataset", n_cells: int = 16,
+                        train_rows: int = 4096, n_iter: int = 8,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means on a bounded sample
+    (standard IVF practice — the quantizer is trained on a sample, the
+    full corpus is only ever *assigned*). Deterministic: the sample is
+    the dataset's first ``train_rows`` rows and init is the first
+    ``n_cells`` of them; Lloyd iterations run in numpy on the
+    driver-side sample only (≤ train_rows × dim floats)."""
+    return _train_ivf(ds, n_cells, train_rows, n_iter, vec_col)
+
+
+def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
+            query_ids: np.ndarray, k: int = 10, n_cells: int = 16,
+            n_probe: int = 6, train_rows: int = 4096, n_iter: int = 8,
+            vec_col: str = "embedding", id_col: str = "vec_id"
+            ) -> pa.Table:
+    """IVF approximate top-k (the second scale path next to LSH):
+    a sample-trained spherical-k-means coarse quantizer partitions the
+    corpus into ``n_cells`` inverted lists; each query scores only the
+    rows assigned to its ``n_probe`` closest cells. One pass over the
+    data: every block assigns its rows to cells vectorized (argmax
+    against the broadcast centroids), masks (query, row) entries whose
+    cell is outside that query's probe list, and emits a per-block
+    top-k; the driver folds candidates exactly like the brute path.
+    Scanned fraction ≈ n_probe / n_cells — THE recall/cost knob;
+    ``bench.py`` emits measured recall vs :func:`knn_bruteforce`."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    cents = _train_ivf(ds, n_cells, train_rows, n_iter, vec_col)
+    # per-query probe cells: top n_probe by centroid similarity
+    qsims = qn @ cents.T                               # (n_q, n_cells)
+    order = np.argsort(-qsims, axis=1, kind="stable")[:, :n_probe]
+    probe = np.zeros((len(qn), len(cents)), dtype=bool)
+    np.put_along_axis(probe, order, True, axis=1)
+    ctx_ref = ray.put((qn, cents, probe))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q, c, pr = ray.get(ctx_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch, vec_col))
+        cell = (m @ c.T).argmax(axis=1)                # coarse assign
+        scan = pr[:, cell].any(axis=0)                 # union of probes
+        if not scan.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids, m, cell = ids[scan], m[scan], cell[scan]
+        sims = q @ m.T                                 # (n_q, scanned)
+        sims = np.where(pr[:, cell], sims, -np.inf)    # per-query mask
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        svals = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        keep = np.isfinite(svals)
+        return pa.table({
+            "query_id": pa.array(np.repeat(qids, kk)[keep]),
+            "neighbor_id": pa.array(ids[part.reshape(-1)][keep]),
+            "sim": pa.array(svals[keep]),
+        })
+
+    parts = [ray.get(r) for r in
+             ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64())})
+    return _merge_topk(parts, k)
+
+
+def _train_ivf(ds, n_cells: int, train_rows: int, n_iter: int,
+               vec_col: str) -> np.ndarray:
+    """Sample-based spherical k-means (see train_ivf_centroids doc)."""
+    sample_t = pa.concat_tables(
+        [ray.get(r) for r in
+         ds.limit(train_rows).to_arrow_refs()])
+    m = _normalize(_matrix(sample_t, vec_col))
+    n_cells = min(n_cells, len(m)) or 1
+    cents = m[:n_cells].copy()                         # deterministic init
+    for _ in range(n_iter):
+        lab = (m @ cents.T).argmax(axis=1)
+        for j in range(n_cells):
+            sel = lab == j
+            if sel.any():
+                cents[j] = m[sel].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
 
 
 def hyperplane_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:

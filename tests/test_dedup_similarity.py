@@ -113,6 +113,17 @@ def test_knn_lsh_recall_floor(ray_session):
     assert knn_recall("/root/testdata/sf0.01") >= 0.9
 
 
+def test_knn_ivf_recall_floor(ray_session):
+    """IVF ANN recall@10 floor at the default (n_cells, n_probe) —
+    deterministic: sample-trained quantizer, fixed testdata. The
+    uniform-random test vectors are the worst case for any
+    cell-pruning index; measured 0.92 at 6/16 cells probed."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import knn_recall
+    assert knn_recall("/root/testdata/sf0.01", "knn_ivf") >= 0.85
+
+
 def test_dup_components_both_paths(ray_session):
     """Connected components over a pair list: the single-task
     union-find fast path and the distributed hash-min label
