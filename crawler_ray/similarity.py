@@ -155,10 +155,13 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
 
 def _train_ivf(ds, n_cells: int, train_rows: int, n_iter: int,
                vec_col: str) -> np.ndarray:
-    """Sample-based spherical k-means (see train_ivf_centroids doc)."""
-    sample_t = pa.concat_tables(
-        [ray.get(r) for r in
-         ds.limit(train_rows).to_arrow_refs()])
+    """Sample-based spherical k-means (see train_ivf_centroids doc).
+    The sample comes via ``take_batch`` (one bounded driver-side
+    batch) — ``limit().to_arrow_refs()`` trips a Ray 2.49 reference-
+    counter CHECK (reference_count.cc:581) when the truncated plan's
+    upstream refs are inlined."""
+    sample_t = ds.take_batch(batch_size=train_rows,
+                             batch_format="pyarrow")
     m = _normalize(_matrix(sample_t, vec_col))
     n_cells = min(n_cells, len(m)) or 1
     cents = m[:n_cells].copy()                         # deterministic init
