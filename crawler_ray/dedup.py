@@ -860,12 +860,13 @@ def embedding_dup_pairs_lsh(ds: "ray.data.Dataset",
                 (n_planes, m.shape[1] if m.size else 1))
         codes = hyperplane_codes(m, planes_holder["planes"]) if len(ids) \
             else np.zeros(0, np.uint64)
-        # multiprobe explode: own code + all Hamming-1 codes
-        # (probe_bits supports 0 or 1; radius-r would BFS here)
-        keys = [codes]
-        if probe_bits >= 1:
-            for b in range(n_planes):
-                keys.append(codes ^ np.uint64(1 << b))
+        # multiprobe explode: own code + every code within Hamming
+        # ``probe_bits`` (all C(n_planes, r) flip masks per radius r)
+        from itertools import combinations
+        masks = [sum(1 << b for b in bits)
+                 for r in range(1, probe_bits + 1)
+                 for bits in combinations(range(n_planes), r)]
+        keys = [codes] + [codes ^ np.uint64(m) for m in masks]
         key = np.concatenate(keys) if len(ids) else codes
         rep_ids = np.tile(ids, len(keys))
         return pa.table({
