@@ -102,10 +102,14 @@ class PageStore:
 
     def export(self):
         """Publish this shard's (table, sorted url_hash index,
-        permutation) as ONE object-store entry. The crawl passes the
-        resulting ObjectRef to every stateless parse task — the join
-        runs inside the task against the zero-copy shared corpus, so
-        no per-wave actor round trip sits on the critical path."""
+        permutation) as ONE object-store entry, letting tasks run
+        :func:`join_pages` themselves against the zero-copy shared
+        corpus. NOT used by the crawl loop: measured slower than the
+        chunked ``fetch`` path on this corpus (a second full html
+        copy parks in the object store — spill pressure — and the
+        fetch/parse overlap is lost; see ``pipelines/crawl.py``
+        ``_parse_task`` notes). Kept for corpora whose shards exceed
+        actor heap, where plasma-resident is the only option."""
         return (self.table, self.sorted_hashes, self.perm)
 
     # -- fetch-only (join) ------------------------------------------------
