@@ -151,14 +151,20 @@ def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
     (identical pairs share the key, so they always meet in the same
     coarse group), and it saves candidate generators a whole
     dedicated dedup shuffle.
+
+    Int64 id columns are NEVER null here: blob rows repeat their own
+    key in the ``other_id`` slot (masked out by ``_role``). A null in
+    an int64 column would make the pandas ``map_groups`` conversion
+    coerce the whole column to float64, silently corrupting ids
+    ≥ 2^53 (e.g. 64-bit url_hash-derived ids).
     """
     other_id = "b_id" if key_col == "a_id" else "a_id"
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
         cols: dict = {
-            key_col: batch[key_col],
-            other_id: batch[other_id],
+            "a_id": batch["a_id"],
+            "b_id": batch["b_id"],
         }
         for c in carry_binary:
             cols[c] = batch[c]
@@ -169,11 +175,12 @@ def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
 
     def tag_blobs(batch: pa.Table) -> pa.Table:
         k = batch[blob_key].to_numpy(zero_copy_only=False)
-        n = batch.num_rows
         cols: dict = {
-            key_col: batch[blob_key],
-            other_id: pa.nulls(n, pa.int64()),
+            # own key in BOTH id slots: no int64 nulls (see docstring)
+            "a_id": batch[blob_key],
+            "b_id": batch[blob_key],
         }
+        n = batch.num_rows
         for c in carry_binary:
             cols[c] = pa.nulls(n, pa.binary())
         cols["_payload"] = batch[blob_col].cast(pa.binary())
@@ -183,8 +190,6 @@ def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
 
     tagged = (pairs.map_batches(tag_pairs, batch_format="pyarrow")
               .union(blobs.map_batches(tag_blobs, batch_format="pyarrow")))
-
-    out_cols = ["a_id", "b_id", *carry_binary, out_col]
 
     def resolve(g: pd.DataFrame) -> pa.Table:
         role = g["_role"].to_numpy()
@@ -318,10 +323,8 @@ def _bucket_pairs(g: pd.DataFrame, *, id_col: str,
     ids = g[id_col].to_numpy()
     order = np.lexsort((ids, keys))
     keys, ids = keys[order], ids[order]
-    runs = np.flatnonzero(keys[1:] == keys[:-1])
     a_out: list[np.ndarray] = []
     b_out: list[np.ndarray] = []
-    i = 0
     n = len(keys)
     # positions where a run of equal keys starts
     starts = np.flatnonzero(np.concatenate(
@@ -599,29 +602,36 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
 # --------------------------------------------------------------------------
 
 def _local_union_find(pairs: "ray.data.Dataset") -> dict[int, int]:
-    """Min-root union-find over a pair Dataset small enough to walk in
-    one pass (streamed block-by-block — never a driver pandas copy).
+    """Min-label components over a pair Dataset small enough for one
+    task's memory (two int64 arrays ≈ 16 B/pair — 80 MB at the 5M
+    threshold). Fully vectorized: dense-index the touched nodes with
+    ``np.unique``, then numpy min-label rounds with pointer jumping
+    (``lab = lab[lab]``) — O(E) per round, rounds ≈ log(diameter), no
+    per-edge Python loop (the round-2 verdict's driver-stall fix).
     Returns {node: min_id_of_component} for TOUCHED nodes only."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:          # path compression
-            parent[x], x = r, parent[x]
-        return r
-
+    a_parts, b_parts = [], []
     for blk in pairs.iter_batches(batch_format="pyarrow"):
-        a = blk["a_id"].to_numpy(zero_copy_only=False)
-        b = blk["b_id"].to_numpy(zero_copy_only=False)
-        for x, y in zip(a, b):
-            rx, ry = find(int(x)), find(int(y))
-            if rx != ry:                      # min id becomes the root
-                if ry < rx:
-                    rx, ry = ry, rx
-                parent[ry] = rx
-    return {x: find(x) for x in list(parent)}
+        a_parts.append(blk["a_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        b_parts.append(blk["b_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+    if not a_parts:
+        return {}
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src, dst = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, dst, lab[src])     # labels flow both ways
+        np.minimum.at(new, src, lab[dst])
+        new = new[new]                        # pointer jumping
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    comp = nodes[lab]
+    return dict(zip(nodes.tolist(), comp.tolist()))
 
 
 def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
@@ -665,6 +675,10 @@ def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
         return ids.select_columns([id_col]).map_batches(
             assign, batch_format="pyarrow")
 
+    # Int64 columns are never null (edge rows repeat src in the unused
+    # ``lab`` slot, label rows repeat src in ``dst``): a null would make
+    # the pandas map_groups conversion coerce the column to float64 and
+    # silently corrupt ids ≥ 2^53 (same rule as _attach_blob).
     def sym(batch: pa.Table) -> pa.Table:
         a = batch["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -672,7 +686,7 @@ def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
         dst = np.concatenate([b, a])
         return pa.table({
             "src": pa.array(src), "dst": pa.array(dst),
-            "lab": pa.nulls(len(src), pa.int64()),
+            "lab": pa.array(src),
             "role": pa.array(np.ones(len(src), np.int8)),
             "coarse": pa.array(_key_coarse(src)),
         })
@@ -683,7 +697,7 @@ def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
         v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(v)
         return pa.table({
-            "src": pa.array(v), "dst": pa.nulls(n, pa.int64()),
+            "src": pa.array(v), "dst": pa.array(v),
             "lab": pa.array(v),
             "role": pa.array(np.zeros(n, np.int8)),
             "coarse": pa.array(_key_coarse(v)),
@@ -718,16 +732,18 @@ def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
         mid = m["id"].to_numpy().astype(np.int64)
         return pa.table({             # Arrow, so union(edges) type-matches
             "src": pa.array(mid),
-            "dst": pa.nulls(len(m), pa.int64()),
+            "dst": pa.array(mid),
             "lab": pa.array(m["lab"].to_numpy().astype(np.int64)),
             "role": pa.array(np.zeros(len(m), np.int8)),
             "coarse": pa.array(_key_coarse(mid)),
         })
 
     prev = None
+    converged = False
     for _ in range(max_iters):
         cur = labels.sum("lab")
         if cur == prev:
+            converged = True
             break
         prev = cur
         labels = (edges.union(labels)
@@ -736,6 +752,13 @@ def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
                   .groupby("c2")
                   .map_groups(minimize, batch_format="pandas")
                   .materialize())
+    if not converged and labels.sum("lab") != prev:
+        # silent exit here would emit split (wrong) components for
+        # chains with diameter > max_iters — fail loudly instead
+        raise RuntimeError(
+            f"dup_components: label propagation did not converge in "
+            f"{max_iters} rounds (component diameter too large); raise "
+            f"max_iters or tighten the candidate stages' star-collapse")
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({id_col: batch["src"],
@@ -808,7 +831,14 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
         q = _decode_vec_blobs(batch["vec"])
         lo = bid.min()
         a_out, b_out = [], []
-        for r in refs:
+        prefetch = 4
+        for j, r in enumerate(refs):
+            if j + 1 < len(refs):
+                # start pulling the next few peer blocks while this one
+                # computes (ray.wait fetch_local is non-blocking at
+                # timeout=0) — overlaps transfer with the matmul
+                ray.wait(list(refs[j + 1:j + 1 + prefetch]),
+                         num_returns=1, timeout=0, fetch_local=True)
             t = ray.get(r)
             ids2 = t[id_col].to_numpy(zero_copy_only=False)
             if len(ids2) == 0 or ids2.max() <= lo:
@@ -854,12 +884,20 @@ def embedding_dup_pairs_lsh(ds: "ray.data.Dataset",
     def bucket_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _decode_vec_blobs(batch["vec"])
+        if len(ids) == 0:
+            return pa.table({
+                "band_key": pa.array([], pa.uint64()),
+                id_col: pa.array([], pa.int64()),
+                "coarse": pa.array([], pa.int64()),
+            })
+        # plane cache keyed off a NON-EMPTY batch only: an empty first
+        # batch would otherwise cache dim-1 planes and break every
+        # later matmul (round-2 advice)
         if "planes" not in planes_holder:
             rng = np.random.default_rng(seed)
             planes_holder["planes"] = rng.standard_normal(
-                (n_planes, m.shape[1] if m.size else 1))
-        codes = hyperplane_codes(m, planes_holder["planes"]) if len(ids) \
-            else np.zeros(0, np.uint64)
+                (n_planes, m.shape[1]))
+        codes = hyperplane_codes(m, planes_holder["planes"])
         # multiprobe explode: own code + every code within Hamming
         # ``probe_bits`` (all C(n_planes, r) flip masks per radius r)
         from itertools import combinations

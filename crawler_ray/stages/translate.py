@@ -139,8 +139,11 @@ class MeteredTranslateStage:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lens = pc.utf8_length(batch[self.text_col]).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        # fill_null BEFORE the numpy cast: a null text row would yield
+        # NaN → INT64_MIN under astype, corrupting the batch char total
+        # and debiting garbage against the shared budget
+        lens = pc.fill_null(pc.utf8_length(batch[self.text_col]), 0
+                            ).to_numpy(zero_copy_only=False).astype(np.int64)
         total = int(lens.sum())
         granted = ray.get(self.meter.debit.remote(total))
         # fund whole rows in order until the grant runs out (prefix by
@@ -154,7 +157,7 @@ class MeteredTranslateStage:
                 f"translate budget exhausted ({total - granted} chars "
                 f"unfunded in batch)")
         texts = batch[self.text_col].to_pylist()
-        out = [self.fn(t, self.lang) if ok else None
+        out = [self.fn(t or "", self.lang) if ok else None
                for t, ok in zip(texts, funded)]
         return pa.table({
             self.id_col: batch[self.id_col],

@@ -242,3 +242,35 @@ def test_tfidf_kmeans_separates_topics(ray_session):
     a = out[out["doc_id"] < 20]["cluster"].iloc[0]
     b = out[out["doc_id"] >= 20]["cluster"].iloc[0]
     assert a != b
+
+
+def test_big_int64_ids_survive_joins(ray_session):
+    """Regression (round-2 advice): ids >= 2^53 must survive the
+    _attach_blob hash-join and dup_components label propagation
+    bit-exactly — a null in an int64 key column used to coerce the
+    pandas map_groups block to float64 and silently round the ids."""
+    import ray
+
+    from crawler_ray.dedup import dup_components, minhash_lsh_pairs
+    base = 1 << 60
+    a, b = base + 1, base + 3   # collapse to the same float64 value
+    assert float(a) == float(b)  # i.e. float64 cannot tell them apart
+    text = "shared duplicate body " + " ".join(f"w{j}" for j in range(40))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([a, b, base + 5], pa.int64()),
+        "text": pa.array([text, text, "something entirely different "
+                          + " ".join(f"z{j}" for j in range(40))]),
+    }))
+    pairs = minhash_lsh_pairs(ds, threshold=0.9).to_pandas()
+    found = {tuple(p) for p in pairs[["a_id", "b_id"]].to_numpy()}
+    assert found == {(a, b)}          # bit-exact ids, no float rounding
+
+    ids = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([a, b, base + 5], pa.int64())}))
+    pr = ray.data.from_arrow(pa.table({
+        "a_id": pa.array([a], pa.int64()),
+        "b_id": pa.array([b], pa.int64())}))
+    for thr in (5_000_000, 0):        # local union-find AND distributed
+        comp = dup_components(pr, ids, local_threshold=thr).to_pandas()
+        got = dict(zip(comp["doc_id"], comp["component"]))
+        assert got == {a: a, b: a, base + 5: base + 5}

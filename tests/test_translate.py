@@ -79,3 +79,27 @@ def test_dataset_integration(ray_session):
            .to_pandas().sort_values("doc_id"))
     assert list(out["translated_text"]) == [
         "[en] uno", "[en] dos", "[en] tres", "[en] cuatro"]
+
+
+def test_null_text_rows_do_not_corrupt_budget(ray_session):
+    """Regression (round-2 advice): a null text row used to turn the
+    batch char total into INT64_MIN via NaN→astype, corrupting the
+    shared budget debit."""
+    import pyarrow as pa
+    import ray
+
+    from crawler_ray.stages.translate import (
+        MeteredTranslateStage, make_cost_meter)
+    meter = make_cost_meter(budget_usd=0.0)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["hello", None, "world!"], pa.string()),
+    }))
+    out = ds.map_batches(
+        MeteredTranslateStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"meter": meter, "target_language": "de"},
+        concurrency=1).to_pandas().sort_values("doc_id")
+    assert out["n_chars"].tolist() == [5, 0, 6]
+    assert out["translated"].all()
+    stats = ray.get(meter.stats.remote())
+    assert stats["spent_chars"] == 11
