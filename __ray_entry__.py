@@ -54,10 +54,13 @@ KNN_N_QUERIES = 5
 EMBED_DUP_THRESHOLD = 0.45
 
 
-def _ds(sf_dir: str, table: str, columns=None):
-    import ray
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+def _ds(sf_dir: str, table: str, columns=None, min_blocks=4):
+    # size-derived block count (analytics._read): Ray's default
+    # 2×num_cpus split turns small pruned reads into hundreds of
+    # sub-MB blocks whose per-block fixed costs dominate compute;
+    # compute-bound consumers pass min_blocks="cpus"
+    from crawler_ray.pipelines.analytics import _read
+    return _read(sf_dir, table, columns=columns, min_blocks=min_blocks)
 
 
 def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -137,7 +140,8 @@ def _dedup_embedding_lsh(sf_dir: str):
     parameters on the synthetic embeddings, even at the low 0.45
     threshold where LSH prunes worst)."""
     from crawler_ray.dedup import embedding_dup_pairs_lsh
-    return embedding_dup_pairs_lsh(_ds(sf_dir, "embeddings"),
+    return embedding_dup_pairs_lsh(_ds(sf_dir, "embeddings",
+                                       min_blocks="cpus"),
                                    threshold=EMBED_DUP_THRESHOLD,
                                    n_planes=7, probe_bits=2)
 

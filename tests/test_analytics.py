@@ -20,15 +20,17 @@ def con():
     return c
 
 
-def test_revenue_by_nation_both_join_paths(ray_session, con):
-    """The adaptive customer join (broadcast arrays vs second
-    Dataset.join shuffle) must produce identical, oracle-exact results
-    on both branches."""
+def test_revenue_by_nation_all_join_tiers(ray_session, con):
+    """All three adaptive-join plans must produce identical,
+    oracle-exact results: tier 1 (full map-side broadcast, no join
+    operator), tier 2a (orders shuffle join + customer broadcast
+    arrays; sf0.001 has 1500 orders / 150 customers so max=1000
+    splits them), tier 2b (both sides shuffle joins)."""
     from crawler_ray.pipelines.analytics import (
         REVENUE_NATION_SQL, revenue_by_nation)
     ora = (con.execute(REVENUE_NATION_SQL).df()
            .sort_values("nation").reset_index(drop=True))
-    for broadcast_max in (2_000_000, 0):    # broadcast / shuffle paths
+    for broadcast_max in (2_000_000, 1000, 0):
         got = (revenue_by_nation(SF, broadcast_max=broadcast_max)
                .to_pandas().sort_values("nation").reset_index(drop=True))
         cols = sorted(got.columns)

@@ -192,6 +192,29 @@ def test_pdf_minimal_extraction():
     assert out["converter"][0].as_py() == "pdf-min"
 
 
+def test_pdf_hex_string_extraction():
+    """Hex-form show-text operands — the common encoding of
+    font-subset PDFs (<hex> Tj and hex elements inside TJ arrays) —
+    must extract real text, not fall to the sha1 placeholder."""
+    import zlib
+
+    from crawler_ray.stages.convert import ConvertStage, pdf_to_text_min
+    # "Sanction 2021" hex-encoded, whitespace inside + odd-padded "P"
+    raw_stream = b"BT /F1 12 Tf <53616e6374 696f6e2032303231> Tj " \
+                 b"[<416d656e6465> (: ) <35> <3> ] TJ ET"
+    flate = zlib.compress(b"BT <434e494c> Tj ET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length 99 >>\nstream\n"
+           + raw_stream + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+           + flate + b"\nendstream\nendobj\n%%EOF")
+    assert pdf_to_text_min(pdf) == "Sanction 2021\nAmende: 50\nCNIL"
+    st = ConvertStage(payload_col="body", id_col="id")
+    out = st(pa.table({"id": pa.array([1], pa.int64()),
+                       "body": pa.array([pdf], pa.binary())}))
+    assert out["converter"][0].as_py() == "pdf-min"
+    assert "Sanction 2021" in out["text"][0].as_py()
+
+
 def test_convert_strict_raises():
     import pytest
 
