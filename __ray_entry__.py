@@ -117,14 +117,24 @@ def _dedup_ngram(sf_dir: str):
                                threshold=0.5)
 
 
-def _dedup_components(sf_dir: str):
+def _dedup_components(sf_dir: str, local_threshold: int = 5_000_000):
     """Duplicate-cluster assignment: exact-Jaccard near-dup pairs →
     distributed hash-min connected components; singleton docs keep
     their own id as the component label."""
     from crawler_ray.dedup import dup_components, ngram_jaccard_pairs
     docs = _ds(sf_dir, "documents", ["doc_id", "text"])
     pairs = ngram_jaccard_pairs(docs, threshold=0.5)
-    return dup_components(pairs, _ds(sf_dir, "documents", ["doc_id"]))
+    return dup_components(pairs, _ds(sf_dir, "documents", ["doc_id"]),
+                          local_threshold=local_threshold)
+
+
+def _dedup_components_lp(sf_dir: str):
+    """Same computation FORCED down the distributed label-propagation
+    branch (``local_threshold=0``) — the 100-TB path — so the driver's
+    correctness gate hash-checks it against the same recursive-CTE
+    oracle instead of only the single-task union-find covering it at
+    small SF (round-2 verdict #6)."""
+    return _dedup_components(sf_dir, local_threshold=0)
 
 
 def _dedup_embedding(sf_dir: str):
@@ -229,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
         "dedup_components": _dedup_components,
+        "dedup_components_lp": _dedup_components_lp,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         # similarity search
@@ -249,7 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from crawler_ray.pipelines import analytics as A
     from crawler_ray.pipelines.docgraph import CRAWL_REACHABLE_SQL
-    return {
+    out = {
         "q1_pricing_summary": A.Q1_SQL,
         "doc_keywords": A.DOC_KEYWORDS_SQL,
         "doc_enrich": A.DOC_ENRICH_SQL,
@@ -358,3 +369,7 @@ SELECT query_id, neighbor_id FROM r WHERE rk <= {KNN_K}
         "crawl_reachable": CRAWL_REACHABLE_SQL,
         "crawl_reachable_ds": CRAWL_REACHABLE_SQL,
     }
+    # the forced label-propagation branch computes the SAME result as
+    # dedup_components — one oracle, two hash-checked engine paths
+    out["dedup_components_lp"] = out["dedup_components"]
+    return out

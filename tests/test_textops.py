@@ -215,6 +215,35 @@ def test_pdf_hex_string_extraction():
     assert "Sanction 2021" in out["text"][0].as_py()
 
 
+def test_ocr_injection_routing():
+    """M9 routing rule (``pdf_to_text_service.py:84-88`` semantics):
+    a PDF with NO extractable text stream routes to the injected
+    ``ocr_fn``; a PDF with real text operators must NOT (the OCR
+    raster pass is orders of magnitude more expensive)."""
+    from crawler_ray.stages.convert import ConvertStage
+    calls = []
+
+    def fake_ocr(payload: bytes) -> str:
+        calls.append(payload)
+        return "ocr text from scan"
+
+    st = ConvertStage(payload_col="body", id_col="id", ocr_fn=fake_ocr)
+    textless = b"%PDF-1.4\nno streams here\n%%EOF"
+    texty = (b"%PDF-1.4\n1 0 obj\nstream\nBT (Real) Tj ET\n"
+             b"endstream\n%%EOF")
+    out = st(pa.table({"id": pa.array([1, 2], pa.int64()),
+                       "body": pa.array([textless, texty], pa.binary())}))
+    assert out["converter"].to_pylist() == ["ocr", "pdf-min"]
+    assert out["text"][0].as_py() == "ocr text from scan"
+    assert calls == [textless]          # texty never hit the OCR path
+    # strict mode: an injected backend SATISFIES strictness
+    st2 = ConvertStage(payload_col="body", id_col="id",
+                       strict=True, ocr_fn=fake_ocr)
+    out2 = st2(pa.table({"id": pa.array([1], pa.int64()),
+                         "body": pa.array([textless], pa.binary())}))
+    assert out2["converter"][0].as_py() == "ocr"
+
+
 def test_convert_strict_raises():
     import pytest
 
