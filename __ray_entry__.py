@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": A.revenue_by_nation,
         "top_parts_by_revenue": A.top_parts_by_revenue,
         "events_hourly": A.events_hourly,
+        # HLL count-distinct variant (approximate by construction —
+        # rows-only check; tolerance-tested vs the exact path in
+        # tests/test_analytics.py)
+        "events_hourly_hll": A.events_hourly_hll,
         "sessionize": A.sessionize,
         "stopwords_by_source": A.stopwords_by_source,
         "stopwords_global": A.stopwords_global,

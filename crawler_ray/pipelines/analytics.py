@@ -518,6 +518,70 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
             .map_groups(final, batch_format="pandas"))
 
 
+def events_hourly_hll(sf_dir: str, p: int | None = None
+                      ) -> "ray.data.Dataset":
+    """:func:`events_hourly` with the user count-distinct replaced by
+    HyperLogLog — the scale variant for cardinalities where the exact
+    two-level distinct's shuffle (one row per distinct triplet)
+    becomes the bottleneck. Each block contributes ONE ``2^p``-byte
+    register blob per (event_type, hour) group; blobs merge by
+    elementwise max in the coarse-group reduce, so shuffle volume is
+    ``O(groups × blocks × 2^p)`` — independent of user cardinality.
+    ``n_events``/``total_value`` stay exact (same partial-sum path).
+    n_users carries HLL's ±1.04/√m standard error (±1.6 % at the
+    default p=12); tolerance-tested against the exact path."""
+    from crawler_ray.functions.hll import HLL_P, hll_estimate, \
+        hll_merge, hll_partial
+    p = HLL_P if p is None else p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pd.Series(batch["ts"].to_pandas()).dt.floor("h") \
+                  .dt.strftime("%Y-%m-%d %H:00")
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "hour": hours.to_numpy(),
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "value_c": _cents(
+                batch["value"].to_numpy(zero_copy_only=False), 100),
+        })
+        agg = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+        regs = [
+            hll_partial(g["user_id"].to_numpy(), p)
+            for _, g in df.groupby(["event_type", "hour"], sort=True)
+        ]
+        h = (pd.util.hash_array(agg["event_type"].to_numpy(object))
+             ^ pd.util.hash_array(agg["hour"].to_numpy(object)))
+        return pa.table({
+            "event_type": pa.array(agg["event_type"]),
+            "hour": pa.array(agg["hour"]),
+            "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+            "value_c": pa.array(agg["value_c"].to_numpy()),
+            "_hll": pa.array(regs, pa.binary()),
+            "_c": pa.array((h % np.uint64(_N_KEY_COARSE))
+                           .astype(np.int64)),
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (et, hr), sub in g.groupby(["event_type", "hour"],
+                                       sort=True):
+            rows.append({
+                "event_type": et, "hour": hr,
+                "n_events": np.int64(sub["n"].sum()),
+                "total_value": np.int64(sub["value_c"].sum()) / 100.0,
+                "n_users": np.int64(hll_estimate(
+                    hll_merge(sub["_hll"].tolist()))),
+            })
+        return pd.DataFrame(rows)
+
+    return (_read(sf_dir, "events",
+                  columns=["event_type", "ts", "value", "user_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_c")
+            .map_groups(final, batch_format="pandas"))
+
+
 SESSION_GAP_MIN = 30
 
 SESSIONIZE_SQL = f"""

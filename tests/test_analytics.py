@@ -4,6 +4,7 @@ cannot reach (e.g. the shuffle-join variant of revenue_by_nation,
 which the sf0.01 run takes the broadcast branch for)."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -18,6 +19,47 @@ def con():
         c.execute(f"CREATE VIEW {t} AS "
                   f"SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
+
+
+def test_hll_estimator_accuracy():
+    """Pure-function check: estimate within 3σ (≈5 %) of the true
+    cardinality across magnitudes, and merging split partials gives
+    the identical registers as one pass (associativity)."""
+    import numpy as np
+
+    from crawler_ray.functions.hll import (
+        hll_estimate, hll_merge, hll_partial)
+    rng = np.random.default_rng(7)
+    for n in (50, 1_000, 50_000):
+        vals = rng.choice(np.arange(10 * n, dtype=np.int64),
+                          size=3 * n, replace=True)     # with repeats
+        true = len(np.unique(vals))
+        est = hll_estimate(hll_merge([hll_partial(vals)]))
+        assert abs(est - true) / true < 0.05, (n, true, est)
+        # split-merge == single pass, any split point
+        split = hll_merge([hll_partial(vals[:n]),
+                           hll_partial(vals[n:])])
+        whole = hll_merge([hll_partial(vals)])
+        assert (split == whole).all()
+
+
+def test_events_hourly_hll_vs_exact(ray_session, con):
+    """The HLL variant must agree with the exact two-level distinct
+    within the p=12 error band on every (event_type, hour) row, and
+    keep n_events/total_value EXACT (they don't go through HLL)."""
+    from crawler_ray.pipelines.analytics import (
+        events_hourly, events_hourly_hll)
+    keys = ["event_type", "hour"]
+    ex = (events_hourly(SF).to_pandas()
+          .sort_values(keys).reset_index(drop=True))
+    ap = (events_hourly_hll(SF).to_pandas()
+          .sort_values(keys).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        ex[keys + ["n_events", "total_value"]],
+        ap[keys + ["n_events", "total_value"]], check_exact=True)
+    err = (ap["n_users"] - ex["n_users"]).abs()
+    tol = np.maximum(2, 0.05 * ex["n_users"])
+    assert (err <= tol).all(), ex.assign(hll=ap["n_users"])[err > tol]
 
 
 def test_revenue_by_nation_all_join_tiers(ray_session, con):
