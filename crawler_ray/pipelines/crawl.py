@@ -106,7 +106,36 @@ class CrawlConfig:
                                        # registry at run_crawl() start (the
                                        # module dict is NOT replayed in Ray
                                        # worker processes)
+    render_pool: int = 2               # warm browser actors serving hosts
+                                       # whose spec sets needs_render (0 =
+                                       # render disabled even for such hosts)
+    browser_factory: object = None     # picklable () -> browser for the
+                                       # render actors; None = FakeBrowser
     now = PINNED_NOW
+
+
+def _render_rows(t: pa.Table, render_hosts, actors: list,
+                 salt: int) -> pa.Table:
+    """Route the slice's script-driven rows (host ∈ render_hosts)
+    through one warm render actor — S3 in the crawl path. Only the
+    needing rows ship; the rendered html splices back by position.
+    Actor choice is deterministic (salt = slice start) so replays
+    pick the same browser."""
+    from crawler_ray.urlnorm import host_of
+    hosts = (t["host"].to_pylist() if "host" in t.column_names
+             else [host_of(u) for u in t["url"].to_pylist()])
+    mask = np.array([h in render_hosts for h in hosts], dtype=bool)
+    if not mask.any():
+        return t
+    actor = actors[salt % len(actors)]
+    rendered = unpack(ray.get(actor.render_packed.remote(
+        pack(t.filter(pa.array(mask))))))
+    htmls = t["html"].to_pylist()
+    for pos, h in zip(np.flatnonzero(mask),
+                      rendered["html"].to_pylist()):
+        htmls[int(pos)] = h
+    i = t.schema.get_field_index("html")
+    return t.set_column(i, "html", pa.array(htmls, pa.binary()))
 
 
 @ray.remote
@@ -137,8 +166,12 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
 
     max_depth = ctx["max_depth"]
     seen_shards = ctx["seen_shards"]
-    parsed = ParseStage(ctx["now"], registry=ctx["registry"])(
-        fetched.slice(start, stop - start))
+    sliced = fetched.slice(start, stop - start)
+    render_hosts = ctx.get("render_hosts") or ()
+    if render_hosts:
+        sliced = _render_rows(sliced, render_hosts,
+                              ctx["render_actors"], start)
+    parsed = ParseStage(ctx["now"], registry=ctx["registry"])(sliced)
     pq.write_table(parsed, part_path)
     cands = _explode_links(parsed)
     if max_depth is not None:
@@ -403,9 +436,22 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                                    # staged entries came from waves < wave
     # shared per-run parse context: ONE object-store entry instead of
     # re-pickling 8 actor handles + the registry into every task
+    render_hosts = frozenset(
+        h for h, s in (cfg.registry or {}).items()
+        if getattr(s, "needs_render", False))
+    render_actors = []
+    if render_hosts and cfg.render_pool > 0:
+        from crawler_ray.sources.render import make_render_pool
+        render_actors = make_render_pool(cfg.render_pool,
+                                         cfg.browser_factory)
     ctx_ref = ray.put({"now": cfg.now, "max_depth": cfg.max_depth,
                        "seen_shards": seen_shards,
-                       "registry": cfg.registry})
+                       "registry": cfg.registry,
+                       # no actors (render_pool=0) ⇒ pages parse raw,
+                       # like the reference without a webdriver
+                       "render_hosts": render_hosts if render_actors
+                       else frozenset(),
+                       "render_actors": render_actors})
     n_cpus = int(ray.cluster_resources().get("CPU", 32))
     t_loop0 = time.perf_counter()
     while True:

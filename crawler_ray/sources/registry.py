@@ -44,6 +44,18 @@ class SourceSpec:
     pagination: str = "forward"            # forward | backward
     page_parser: Callable | None = None    # bytes -> ParsedPage
     text_extractor: Callable | None = None  # bytes -> str
+    #: script-driven source (denmark:104-118 — content arrives via an
+    #: AJAX load the raw fetch can't see): the crawl routes this
+    #: host's fetched pages through the warm render actor pool before
+    #: parsing. The reference booted a fresh headless Chrome PER
+    #: DOCUMENT; the engine renders on ``render_pool`` long-lived
+    #: browsers.
+    needs_render: bool = False
+    #: API-backed source (france:61-134): document fetches carry a
+    #: broker-issued bearer token (see ``sources/tokens.py``); the
+    #: value names the credential so several sources can share one
+    #: broker. None = plain fetch.
+    auth: str | None = None
 
 
 _DEFAULT = SourceSpec(source_id="default")

@@ -32,8 +32,10 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import ray
 
-__all__ = ["FakeBrowser", "RenderStage", "AJAX_SCRIPT_RE"]
+__all__ = ["FakeBrowser", "RenderStage", "AJAX_SCRIPT_RE",
+           "RenderActor", "make_render_pool"]
 
 AJAX_SCRIPT_RE = re.compile(
     rb'<script type="application/x-fixture-ajax">(.*?)</script>',
@@ -73,3 +75,31 @@ class RenderStage:
         i = batch.schema.get_field_index(self.html_col)
         return batch.set_column(i, self.html_col,
                                 pa.array(rendered, pa.binary()))
+
+
+@ray.remote
+class RenderActor:
+    """The crawl engine's warm-browser handle: one long-lived browser
+    per actor (ST3), shared by every parse task of the run — vs the
+    reference's fresh ``webdriver.Chrome`` per document
+    (denmark:104-118). Tables travel packed (IPC bytes) because actor
+    args don't zero-copy Arrow the way ``map_batches`` blocks do."""
+
+    def __init__(self, browser_factory=None):
+        self.stage = RenderStage(browser_factory)
+
+    def render_packed(self, packed: bytes) -> bytes:
+        from crawler_ray.sources.pages import pack, unpack
+        return pack(self.stage(unpack(packed)))
+
+    def stats(self) -> dict:
+        b = self.stage.browser
+        return {"launches": getattr(b, "launches", None),
+                "pages_rendered": getattr(b, "pages_rendered", None)}
+
+
+def make_render_pool(n: int, browser_factory=None) -> list:
+    """``n`` warm renderer actors (the engine-wide browser budget —
+    a real deployment sizes this to licensed browser seats / memory,
+    NOT to crawl width)."""
+    return [RenderActor.remote(browser_factory) for _ in range(n)]

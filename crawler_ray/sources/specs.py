@@ -2,7 +2,7 @@
 
 The registry (``registry.py``) is the plugin surface; this module
 proves it carries the reference's actual listing structures by
-implementing three of the hand-written scrapers as ``page_parser``
+implementing five of the hand-written scrapers as ``page_parser``
 callables over their real DOM shapes:
 
 - **Austria / RIS** (``pygdpr/models/dpa/austria/__init__.py:79-113``):
@@ -31,6 +31,25 @@ callables over their real DOM shapes:
   ``span.news-date``, doc link in ``h4.node__title > a`` with the
   title in its inner ``span``.
 
+- **Denmark / Datatilsynet**
+  (``pygdpr/models/dpa/denmark/__init__.py:104-140``): the canonical
+  Selenium source — listing content arrives via AJAX, so the spec
+  sets ``needs_render=True`` and the crawl routes its pages through
+  the warm :class:`~crawler_ray.sources.render.RenderActor` pool
+  before parsing. Rows are ``div.ajaxhost → div.items → div.item``
+  with an ``h2 > a`` doc link and a date span; same-title collisions
+  resolve through the engine's composite ``doc_key`` (hash+date,
+  denmark:135-140).
+
+- **France / CNIL**
+  (``pygdpr/models/dpa/france/__init__.py:61-134``): Drupal listing
+  via plain GET, documents via the AUTHENTICATED Legifrance consult
+  API — spec ``auth="piste"``; result rows rewrite to consult URLs
+  carrying the extracted ``textId``, and
+  :func:`crawler_ray.pipelines.apidocs.fetch_api_documents` pulls
+  them through a ``BearerFetchStage`` actor pool (one OAuth mint per
+  run via the TokenBroker instead of per-worker stampedes).
+
 All parsers fall back to the engine's default contract
 (:func:`crawler_ray.extract.parse_page`) when the page does not
 contain their listing structure, so detail pages on the same hosts
@@ -45,8 +64,9 @@ from crawler_ray.extract import ParsedPage, parse_page
 from crawler_ray.sources.registry import SourceSpec, register
 
 __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
-           "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC",
-           "register_reference_specs"]
+           "denmark_page_parser", "france_page_parser",
+           "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC", "DENMARK_SPEC",
+           "FRANCE_SPEC", "FRANCE_API", "register_reference_specs"]
 
 
 def _classes(attrs) -> list[str]:
@@ -289,6 +309,206 @@ def edpb_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+class _DenmarkListing(HTMLParser):
+    """datatilsynet.dk AJAX listing scanner (denmark:108-125
+    semantics, POST-render DOM): ``div.ajaxhost`` → ``div.items`` →
+    ``div.item`` rows, each with an ``h2 > a`` doc link (text =
+    title) and a ``span`` whose LAST whitespace token is the
+    ``dd-mm-yyyy`` date (``date_str.strip().split(' ')[-1]``,
+    denmark:123-125). Pagination: the reference clicks the LAST
+    ``li`` of ``ul.pagination`` (denmark:54-58) — realized as
+    next_href = the last pagination link."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.next_href: str | None = None
+        self._depth = 0
+        self._in_ajaxhost = self._in_items = False
+        self._item_depth: int | None = None
+        self._row_href: str | None = None
+        self._row_title: list[str] | None = None
+        self._row_date: list[str] | None = None
+        self._in_h2 = self._in_h2_a = self._in_span = False
+        self._in_pagination = False
+        self._pag_hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "ajaxhost" in cls:
+            self._in_ajaxhost = True
+        elif tag == "div" and self._in_ajaxhost and "items" in cls:
+            self._in_items = True
+        elif tag == "div" and self._in_items and "item" in cls \
+                and self._item_depth is None:
+            self._item_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._item_depth is not None:
+            if tag == "h2":
+                self._in_h2 = True
+            elif tag == "a" and self._in_h2 and self._row_href is None:
+                self._row_href = _attr(attrs, "href")   # denmark:113-118
+                self._in_h2_a = True
+            elif tag == "span":
+                self._in_span = True                    # denmark:121-125
+        if tag == "ul" and "pagination" in cls:
+            self._in_pagination = True
+        elif tag == "a" and self._in_pagination:
+            href = _attr(attrs, "href")
+            if href is not None:
+                self._pag_hrefs.append(href)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_h2_a = False
+        elif tag == "h2":
+            self._in_h2 = False
+        elif tag == "span":
+            self._in_span = False
+        elif tag == "ul" and self._in_pagination:
+            self._in_pagination = False
+            if self._pag_hrefs:                         # denmark:54-58
+                self.next_href = self._pag_hrefs[-1]
+        elif tag == "div":
+            if self._item_depth == self._depth:
+                title = " ".join("".join(self._row_title or []).split())
+                date_txt = " ".join("".join(self._row_date or []).split())
+                date = date_txt.split(" ")[-1] if date_txt else ""
+                if title and self._row_href:
+                    self.results.append((title, date, self._row_href))
+                self._item_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_h2_a and self._row_title is not None:
+            self._row_title.append(data)
+        elif self._in_span and self._row_date is not None:
+            self._row_date.append(data)
+
+
+def denmark_page_parser(html: bytes | None) -> ParsedPage:
+    """Datatilsynet listing parser over the POST-RENDER DOM — the raw
+    fetch has no ``ajaxhost`` content (script-driven, denmark:104-118)
+    so an unrendered page simply falls through to the default
+    contract: rendering is load-bearing, exactly like the reference's
+    Selenium dependence. Same-title collision handling needs no code
+    here: the engine's composite ``doc_key = md5(title)-date``
+    (``functions/hashing.composite_doc_key``, denmark:135-140) keeps
+    same-hash/different-date documents distinct while same-hash/
+    same-date duplicates collapse in the document sink."""
+    if html and b"ajaxhost" in html:
+        p = _DenmarkListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.next_href:
+            return ParsedPage(kind="listing", results=p.results,
+                              next_href=p.next_href)
+    return parse_page(html)
+
+
+class _FranceListing(HTMLParser):
+    """CNIL Drupal search-results scanner (france:91-101): rows are
+    ``div.view-content`` → ``div.views-row``; each row's first ``<a>``
+    href carries the Legifrance text id as the LAST ``=``-component of
+    its query string (``o.query.split('=')[-1]``, france:99-101)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[tuple[str, str]] = []   # (link text, href)
+        self._depth = 0
+        self._in_content = False
+        self._row_depth: int | None = None
+        self._row_href: str | None = None
+        self._row_text: list[str] | None = None
+        self._in_a = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "view-content" in cls:
+            self._in_content = True
+        elif tag == "div" and self._in_content and "views-row" in cls \
+                and self._row_depth is None:
+            self._row_depth = self._depth
+            self._row_href, self._row_text = None, []
+        elif tag == "a" and self._row_depth is not None \
+                and self._row_href is None:
+            self._row_href = _attr(attrs, "href")
+            self._in_a = True
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "div":
+            if self._row_depth == self._depth:
+                text = " ".join("".join(self._row_text or []).split())
+                if self._row_href:
+                    self.rows.append((text, self._row_href))
+                self._row_depth = None
+            if self._depth == 1:
+                self._in_content = False
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_a and self._row_text is not None:
+            self._row_text.append(data)
+
+
+#: the authenticated consult endpoint (france:103-106); the engine
+#: addresses each document as ``{API}?textId=<cnil_text>`` so the
+#: frontier / seen set dedup API documents like any URL.
+FRANCE_API = ("https://sandbox-api.piste.gouv.fr/dila/legifrance-beta/"
+              "lf-engine-app/consult/cnil")
+
+
+def france_page_parser(html: bytes | None) -> ParsedPage:
+    """Two payload shapes, like the reference's two fetch paths:
+
+    - a Drupal results page (plain GET, france:91-101) → listing whose
+      result hrefs are consult-API URLs built from the extracted
+      ``textId`` (the engine's fetch-as-join then pulls them through
+      :class:`crawler_ray.sources.tokens.BearerFetchStage` — spec
+      ``auth="piste"``);
+    - a consult-API JSON payload (france:113-140) → detail: title =
+      ``text.titre``, date = ``text.datePubli`` (ms epoch), text =
+      ``get_text`` of ``text.texteHtml`` — emitted in the engine's
+      detail contract layout (title line + ``Released`` line)."""
+    if html:
+        s = html.lstrip()
+        if s.startswith(b"{"):
+            import datetime as _dt
+            import json as _json
+            try:
+                body = _json.loads(s.decode("utf-8"))
+            except ValueError:
+                return parse_page(html)
+            text = body.get("text")
+            if not isinstance(text, dict):     # france:114-115
+                return ParsedPage(kind="other")
+            title = text.get("titre", "")
+            date = _dt.datetime.utcfromtimestamp(
+                text["datePubli"] / 1000.0).date()     # france:116-118
+            from crawler_ray.extract import extract_text
+            doc_text = extract_text(
+                text.get("texteHtml", "").encode("utf-8"))
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {date.isoformat()}\n{doc_text}")
+        if b"views-row" in html:
+            p = _FranceListing()
+            p.feed(html.decode("utf-8", errors="replace"))
+            results = []
+            for text, href in p.rows:
+                q = href.split("?", 1)[1] if "?" in href else href
+                cnil_text = q.split("=")[-1]           # france:99-101
+                results.append(
+                    (text or cnil_text, "",
+                     f"{FRANCE_API}?textId={cnil_text}"))
+            if results:
+                return ParsedPage(kind="listing", results=results)
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -320,8 +540,31 @@ EDPB_SPEC = SourceSpec(
 )
 
 
+DENMARK_SPEC = SourceSpec(
+    source_id="denmark-datatilsynet",
+    hosts=("www.datatilsynet.dk", "datatilsynet.dk"),
+    seed_urls=("https://www.datatilsynet.dk/afgoerelser/afgoerelser",
+               "https://www.datatilsynet.dk/afgoerelser/tilladelser"),
+    doc_types=("Decisions", "Permissions"),
+    pagination="forward",
+    page_parser=denmark_page_parser,
+    needs_render=True,                      # denmark:104-118
+)
+
+FRANCE_SPEC = SourceSpec(
+    source_id="france-cnil",
+    hosts=("www.cnil.fr", "cnil.fr", "sandbox-api.piste.gouv.fr"),
+    seed_urls=("https://www.cnil.fr/fr/deliberations",),
+    doc_types=("Decisions",),
+    pagination="forward",
+    page_parser=france_page_parser,
+    auth="piste",                           # france:64-84
+)
+
+
 def register_reference_specs() -> list[SourceSpec]:
     """Register the reference-parity specs (call before building the
     pipeline, or pass the returned specs via an explicit registry)."""
     return [register(AUSTRIA_SPEC), register(ITALY_SPEC),
-            register(EDPB_SPEC)]
+            register(EDPB_SPEC), register(DENMARK_SPEC),
+            register(FRANCE_SPEC)]

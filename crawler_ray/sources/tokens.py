@@ -73,7 +73,10 @@ class TokenBroker:
 
 def make_token_broker(mint_fn=None, refresh_margin_s: float = 60.0,
                       clock=None):
-    return TokenBroker.options(max_concurrency=1).remote(
+    # num_cpus=0: the broker holds a string and a float — reserving a
+    # whole core for it can deadlock small clusters where the fetch
+    # actor pool already claims every CPU
+    return TokenBroker.options(max_concurrency=1, num_cpus=0).remote(
         mint_fn, refresh_margin_s, clock)
 
 

@@ -243,3 +243,211 @@ def test_parsers_standalone():
     # non-listing payloads take the default contract path
     det = austria_page_parser(b'<div class="content"><p>hi</p></div>')
     assert det.kind == "detail" and det.text == "hi"
+
+
+# --------------------------------------------------------------------------
+# Denmark: Selenium-per-document source → warm render pool + composite key
+# --------------------------------------------------------------------------
+
+DK = "https://www.datatilsynet.dk"
+
+
+def _dk_item(title, date, href):
+    return ('<div class="item">'
+            f'<h2><a href="{href}">{title}</a></h2>'
+            f"<span>Dato: {date}</span></div>")
+
+
+def _dk_listing(items, page_hrefs=()):
+    pag = ""
+    if page_hrefs:
+        pag = ('<ul class="pagination">'
+               + "".join(f'<li><a href="{h}">p</a></li>'
+                         for h in page_hrefs) + "</ul>")
+    ajax = ('<div class="ajaxhost"><div class="items">'
+            + "".join(items) + "</div></div>" + pag)
+    # the RAW fetch carries the post-JS DOM only inside the fixture
+    # ajax script — parseable ONLY after the render pool splices it
+    return ('<html><body><div id="shell">loading…</div>'
+            f'<script type="application/x-fixture-ajax">{ajax}</script>'
+            "</body></html>").encode()
+
+
+def _dk_doc(title, date_iso):
+    return (f'<div class="content"><h1>{title}</h1>'
+            f"<p>Released {date_iso}</p><p>afgørelsens tekst</p>"
+            "</div>").encode()
+
+
+def _dk_fixture(tmp_path):
+    p1 = _dk_listing([
+        _dk_item("Afgørelse Alpha", "15-03-2021", "/docs/alpha"),
+        _dk_item("Gammel Sag", "01-01-2017", "/docs/old"),   # pre-GDPR
+        _dk_item("Afgørelse Dup", "15-03-2021", "/docs/dup-a"),
+    ], page_hrefs=["/afgoerelser?p=1", "/afgoerelser?p=2"])
+    p2 = _dk_listing([
+        _dk_item("Afgørelse Dup", "10-06-2020", "/docs/dup-b"),
+        _dk_item("Afgørelse Dup", "15-03-2021", "/docs/dup-c"),
+    ])
+    pages = _pages_table([
+        (f"{DK}/afgoerelser", p1), (f"{DK}/afgoerelser?p=2", p2),
+        (f"{DK}/docs/alpha", _dk_doc("Afgørelse Alpha", "2021-03-15")),
+        (f"{DK}/docs/old", _dk_doc("Gammel Sag", "2017-01-01")),
+        (f"{DK}/docs/dup-a", _dk_doc("Afgørelse Dup", "2021-03-15")),
+        (f"{DK}/docs/dup-b", _dk_doc("Afgørelse Dup", "2020-06-10")),
+        (f"{DK}/docs/dup-c", _dk_doc("Afgørelse Dup", "2021-03-15")),
+    ])
+    return (_write(tmp_path, "pages.parquet", pages),
+            _seeds(tmp_path, [f"{DK}/afgoerelser"]),
+            _robots(tmp_path, ["www.datatilsynet.dk"]))
+
+
+def test_denmark_render_pool_and_composite_key(ray_session, tmp_path):
+    """Real-engine crawl of the Datatilsynet structure: the AJAX
+    listing is only parseable through the warm render-actor pool
+    (S3/ST3 vs denmark:104-118's Chrome-per-document), pre-GDPR rows
+    are window-filtered at the listing, and the composite-key rule
+    (denmark:135-140) keeps same-title/DIFFERENT-date docs distinct
+    while collapsing the same-title/same-date true duplicate."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import DENMARK_SPEC
+
+    pages, seeds, robots = _dk_fixture(tmp_path)
+    out = str(tmp_path / "out")
+    run_crawl(pages, seeds, robots, out,
+              CrawlConfig(n_frontier_shards=2, n_seen_shards=2,
+                          n_page_shards=2, render_pool=2,
+                          registry={h: DENMARK_SPEC
+                                    for h in DENMARK_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{DK}/afgoerelser?p=2" in fetched          # pager followed
+    assert f"{DK}/docs/old" not in fetched             # date-filtered
+    assert {f"{DK}/docs/alpha", f"{DK}/docs/dup-a",
+            f"{DK}/docs/dup-b", f"{DK}/docs/dup-c"} <= fetched
+    docs = finalize_docs(out).to_pandas()
+    dup = docs[docs["title"] == "Afgørelse Dup"]
+    # same md5(title) for all three, but dup-a/dup-c (same date)
+    # collapse while dup-b (different date) stays: 2 rows, 1 hash
+    assert len(dup) == 2 and dup["doc_hash"].nunique() == 1
+    assert sorted(dup["doc_key"].str.split("-", n=1).str[1]) \
+        == ["2020-06-10", "2021-03-15"]
+    assert set(docs["title"]) == {"Afgørelse Alpha", "Afgørelse Dup"}
+
+
+def test_denmark_unrendered_is_blind(ray_session, tmp_path):
+    """render_pool=0 ⇒ the raw (script-only) DOM reaches the parser
+    and no listing/docs are discovered — rendering is load-bearing,
+    exactly like the reference's webdriver dependence."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, finalize_docs,
+                                             run_crawl)
+    from crawler_ray.sources.specs import DENMARK_SPEC
+
+    pages, seeds, robots = _dk_fixture(tmp_path)
+    out = str(tmp_path / "out0")
+    s = run_crawl(pages, seeds, robots, out,
+                  CrawlConfig(n_frontier_shards=2, n_seen_shards=2,
+                              n_page_shards=2, render_pool=0,
+                              registry={h: DENMARK_SPEC
+                                        for h in DENMARK_SPEC.hosts}))
+    assert s["urls_fetched"] == 1                      # just the seed
+    assert len(finalize_docs(out).to_pandas()) == 0
+
+
+# --------------------------------------------------------------------------
+# France: authenticated API documents via TokenBroker + BearerFetchStage
+# --------------------------------------------------------------------------
+
+FR = "https://www.cnil.fr"
+
+_FR_MS = {"2021-03-15": 1615766400000, "2020-06-10": 1591747200000}
+
+_FR_PAYLOADS = {
+    "CNILTEXT000001": (
+        '{"text": {"titre": "Délibération SAN-2021-001",'
+        f' "datePubli": {_FR_MS["2021-03-15"]},'
+        ' "texteHtml": "<div class=\\"content\\"><p>Corps un</p></div>"}}'),
+    "CNILTEXT000002": (
+        '{"text": {"titre": "Délibération SAN-2020-002",'
+        f' "datePubli": {_FR_MS["2020-06-10"]},'
+        ' "texteHtml": "<div class=\\"content\\"><p>Corps deux</p></div>"}}'),
+    "CNILTEXT000003": '{"error": "not found"}',        # no text key: dropped
+}
+
+
+def _make_fr_api_fetch(payloads):
+    """Fixture stand-in for the authenticated consult POST: REFUSES
+    unauthenticated calls (the assertion IS the wiring proof).
+    Returned as a CLOSURE so cloudpickle ships it by value — a
+    module-level function in tests/ is unimportable in Ray workers."""
+    def fetch(url, headers):
+        auth = headers.get("Authorization", "")
+        assert auth.startswith("Bearer token-"), \
+            f"unauthenticated call: {url}"
+        return payloads[url.split("=")[-1]]
+    return fetch
+
+
+def _fr_listing(rows):
+    divs = "".join('<div class="views-row">'
+                   f'<a href="{href}">{text}</a></div>'
+                   for text, href in rows)
+    return (f'<html><body><div class="view-content">{divs}</div>'
+            "</body></html>").encode()
+
+
+def test_france_bearer_fetch_through_engine(ray_session, tmp_path):
+    """End-to-end France shape: the crawl discovers consult-API URLs
+    from the Drupal listing (plain GET), then fetch_api_documents
+    pulls them through a BearerFetchStage ACTOR POOL — every fetch
+    carries a broker-issued bearer token, the broker mints exactly
+    ONCE for the whole pool (ST5), payloads without a text key are
+    dropped (france:114-115), and the JSON parses into the engine's
+    document contract with the composite key."""
+    import ray as _ray
+
+    from crawler_ray.pipelines.apidocs import fetch_api_documents
+    from crawler_ray.pipelines.crawl import (CrawlConfig, parsed_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import FRANCE_API, FRANCE_SPEC
+    from crawler_ray.sources.tokens import make_token_broker
+
+    listing = _fr_listing([
+        ("Délibération SAN-2021-001", "/fr/cnil?text=CNILTEXT000001"),
+        ("Délibération SAN-2020-002", "/fr/cnil?text=CNILTEXT000002"),
+        ("Délibération retirée", "/fr/cnil?text=CNILTEXT000003"),
+    ])
+    pages = _pages_table([(f"{FR}/fr/deliberations", listing)])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{FR}/fr/deliberations"]),
+        _robots(tmp_path, ["www.cnil.fr", "sandbox-api.piste.gouv.fr"]),
+        out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: FRANCE_SPEC for h in FRANCE_SPEC.hosts}))
+    # the listing rewrote every views-row to a consult-API URL
+    parsed = parsed_dataset(out).to_pandas()
+    api_urls = sorted(u for u in parsed["url"]
+                      if u.startswith(FRANCE_API))
+    assert [u.split("=")[-1] for u in api_urls] == [
+        "CNILTEXT000001", "CNILTEXT000002", "CNILTEXT000003"]
+
+    broker = make_token_broker()
+    urls_ds = _ray.data.from_arrow(
+        pa.table({"url": pa.array(api_urls, pa.string())}))
+    docs = fetch_api_documents(urls_ds, FRANCE_SPEC, broker,
+                               fetch_fn=_make_fr_api_fetch(_FR_PAYLOADS),
+                               concurrency=3, batch_size=1).to_pandas()
+    assert set(docs["title"]) == {"Délibération SAN-2021-001",
+                                  "Délibération SAN-2020-002"}
+    d = docs.set_index("title")
+    assert str(d.loc["Délibération SAN-2021-001", "release_date"]) \
+        == "2021-03-15"
+    assert d.loc["Délibération SAN-2020-002", "text"] == "Corps deux"
+    assert d["doc_key"].str.split("-", n=1).str[1].tolist() \
+        == d.index.to_series().map({
+            "Délibération SAN-2021-001": "2021-03-15",
+            "Délibération SAN-2020-002": "2020-06-10"}).tolist()
+    assert _ray.get(broker.stats.remote())["mints"] == 1   # single mint
