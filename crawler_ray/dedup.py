@@ -128,6 +128,53 @@ def _coalesce_small(ds: "ray.data.Dataset", max_rows: int = 1_000_000,
     return ds
 
 
+_PAIR_EMPTY = pa.table({"a_id": pa.array([], pa.int64()),
+                        "b_id": pa.array([], pa.int64())})
+
+
+def _grouped_apply(ds: "ray.data.Dataset", key: str, fn,
+                   *, empty: pa.Table,
+                   fn_kwargs: dict | None = None) -> "ray.data.Dataset":
+    """``groupby(key).map_groups(fn)`` with a PINNED output schema.
+
+    Ray's ``map_groups`` (sort shuffle + per-key-run UDF apply) emits
+    a ZERO-COLUMN block for every empty sort partition, so downstream
+    operators see divergent schemas — streaming-executor RefBundle
+    warnings, and type surprises in ``union``. This is the same sort +
+    contiguous-run walk, except empty partitions emit ``empty`` (a
+    zero-row Arrow table carrying the real output schema) and every
+    group result is normalized to that schema (column order + types):
+    exactly ONE schema leaves the stage.
+
+    ``fn`` receives a pandas group (all rows of one ``key`` value) and
+    returns a DataFrame or Arrow table, like ``map_groups`` with
+    ``batch_format="pandas"``.
+    """
+    kw = fn_kwargs or {}
+    schema = empty.schema
+    names = schema.names
+
+    def apply_block(block: pa.Table):
+        if block.num_rows == 0:
+            yield empty
+            return
+        keys = block[key].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1])))
+        stops = np.concatenate((starts[1:], [block.num_rows]))
+        for lo, hi in zip(starts, stops):
+            out = fn(block.slice(lo, hi - lo).to_pandas(), **kw)
+            if isinstance(out, pd.DataFrame):
+                out = pa.Table.from_pandas(out, preserve_index=False)
+            if out.schema != schema:
+                out = out.select(names).cast(schema)
+            yield out
+
+    apply_block.__name__ = getattr(fn, "__name__", "grouped_apply")
+    return ds.sort(key).map_batches(apply_block, batch_size=None,
+                                    batch_format="pyarrow")
+
+
 def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
                  *, key_col: str, blob_key: str, blob_col: str,
                  out_col: str, carry_binary: tuple[str, ...] = (),
@@ -218,8 +265,12 @@ def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
             out_col: pa.array(list(bvals[idx[ok]]), pa.binary()),
         })
 
-    return tagged.groupby("_coarse").map_groups(resolve,
-                                                batch_format="pandas")
+    out_empty = pa.table({
+        "a_id": pa.array([], pa.int64()),
+        "b_id": pa.array([], pa.int64()),
+        **{c: pa.array([], pa.binary())
+           for c in (*carry_binary, out_col)}})
+    return _grouped_apply(tagged, "_coarse", resolve, empty=out_empty)
 
 
 def _perm_params(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -378,8 +429,8 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
     # shuffle key = coarse bucket-hash group (64 groups), NOT the raw
     # band_key: per-group callable overhead at mostly-singleton
     # buckets dominated the stage otherwise (ds.stats() evidence)
-    pairs = bands.groupby("coarse").map_groups(
-        _bucket_pairs, batch_format="pandas",
+    pairs = _grouped_apply(
+        bands, "coarse", _bucket_pairs, empty=_PAIR_EMPTY,
         fn_kwargs={"id_col": id_col, "max_bucket": max_bucket})
 
     # verify: hash-join pairs ⋈ signatures (twice, a- then b-side) —
@@ -530,12 +581,15 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                        fn_constructor_kwargs={"text_col": text_col,
                                               "id_col": id_col},
                        concurrency=(1, 8)).materialize())
-    return (sim.map_batches(chunk_rows, batch_format="pyarrow")
-               .groupby("coarse")
-               .map_groups(verify, batch_format="pandas")
-               .map_batches(_pair_coarse, batch_format="pandas")
-               .groupby("pair_coarse")
-               .map_groups(dedup_pairs_group, batch_format="pandas"))
+    ham_empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+    verified = _grouped_apply(
+        sim.map_batches(chunk_rows, batch_format="pyarrow"),
+        "coarse", verify, empty=ham_empty)
+    return _grouped_apply(
+        verified.map_batches(_pair_coarse, batch_format="pandas"),
+        "pair_coarse", dedup_pairs_group, empty=ham_empty)
 
 
 # --------------------------------------------------------------------------
@@ -746,12 +800,18 @@ def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
             converged = True
             break
         prev = cur
-        labels = (edges.union(labels)
-                  .groupby("coarse")
-                  .map_groups(propagate, batch_format="pandas")
-                  .groupby("c2")
-                  .map_groups(minimize, batch_format="pandas")
-                  .materialize())
+        prop_empty = pa.table({"id": pa.array([], pa.int64()),
+                               "lab": pa.array([], pa.int64()),
+                               "c2": pa.array([], pa.int64())})
+        lab_empty = pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64()),
+                              "lab": pa.array([], pa.int64()),
+                              "role": pa.array([], pa.int8()),
+                              "coarse": pa.array([], pa.int64())})
+        labels = _grouped_apply(
+            _grouped_apply(edges.union(labels), "coarse", propagate,
+                           empty=prop_empty),
+            "c2", minimize, empty=lab_empty).materialize()
     if not converged and labels.sum("lab") != prev:
         # silent exit here would emit split (wrong) components for
         # chains with diameter > max_iters — fail loudly instead
@@ -914,11 +974,10 @@ def embedding_dup_pairs_lsh(ds: "ray.data.Dataset",
                                .astype(np.int64)),
         })
 
-    pairs = (norm.map_batches(bucket_rows, batch_format="pyarrow")
-             .groupby("coarse")
-             .map_groups(_bucket_pairs, batch_format="pandas",
-                         fn_kwargs={"id_col": id_col,
-                                    "max_bucket": max_bucket}))
+    pairs = _grouped_apply(
+        norm.map_batches(bucket_rows, batch_format="pyarrow"),
+        "coarse", _bucket_pairs, empty=_PAIR_EMPTY,
+        fn_kwargs={"id_col": id_col, "max_bucket": max_bucket})
 
     # global (a_id, b_id) dedup rides the first join's shuffle (same
     # a_id ⇒ same coarse group) — no dedicated dedup stage
