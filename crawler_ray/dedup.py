@@ -40,6 +40,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from crawler_ray.functions.textops import shingle_hashes_fast
@@ -134,7 +135,8 @@ _PAIR_EMPTY = pa.table({"a_id": pa.array([], pa.int64()),
 
 def _grouped_apply(ds: "ray.data.Dataset", key: str, fn,
                    *, empty: pa.Table,
-                   fn_kwargs: dict | None = None) -> "ray.data.Dataset":
+                   fn_kwargs: dict | None = None,
+                   group_format: str = "pandas") -> "ray.data.Dataset":
     """``groupby(key).map_groups(fn)`` with a PINNED output schema.
 
     Ray's ``map_groups`` (sort shuffle + per-key-run UDF apply) emits
@@ -146,13 +148,16 @@ def _grouped_apply(ds: "ray.data.Dataset", key: str, fn,
     group result is normalized to that schema (column order + types):
     exactly ONE schema leaves the stage.
 
-    ``fn`` receives a pandas group (all rows of one ``key`` value) and
-    returns a DataFrame or Arrow table, like ``map_groups`` with
-    ``batch_format="pandas"``.
+    ``fn`` receives each group (all rows of one ``key`` value) as a
+    pandas DataFrame, or as a zero-copy Arrow table slice with
+    ``group_format="pyarrow"`` — the fast path for groups carrying
+    binary payload columns, which pandas would box into object arrays
+    — and returns a DataFrame or Arrow table.
     """
     kw = fn_kwargs or {}
     schema = empty.schema
     names = schema.names
+    arrow_groups = group_format == "pyarrow"
 
     def apply_block(block: pa.Table):
         if block.num_rows == 0:
@@ -163,7 +168,8 @@ def _grouped_apply(ds: "ray.data.Dataset", key: str, fn,
             np.concatenate(([True], keys[1:] != keys[:-1])))
         stops = np.concatenate((starts[1:], [block.num_rows]))
         for lo, hi in zip(starts, stops):
-            out = fn(block.slice(lo, hi - lo).to_pandas(), **kw)
+            g = block.slice(lo, hi - lo)
+            out = fn(g if arrow_groups else g.to_pandas(), **kw)
             if isinstance(out, pd.DataFrame):
                 out = pa.Table.from_pandas(out, preserve_index=False)
             if out.schema != schema:
@@ -238,39 +244,53 @@ def _attach_blob(pairs: "ray.data.Dataset", blobs: "ray.data.Dataset",
     tagged = (pairs.map_batches(tag_pairs, batch_format="pyarrow")
               .union(blobs.map_batches(tag_blobs, batch_format="pyarrow")))
 
-    def resolve(g: pd.DataFrame) -> pa.Table:
-        role = g["_role"].to_numpy()
-        bmask = role == 0
-        bkeys = g.loc[bmask, key_col].to_numpy().astype(np.int64)
-        order = np.argsort(bkeys, kind="stable")
-        bkeys = bkeys[order]
-        bvals = g.loc[bmask, "_payload"].to_numpy()[order]
-        p = g[~bmask]
-        if len(p) == 0 or len(bkeys) == 0:
-            return pa.table({
-                "a_id": pa.array([], pa.int64()),
-                "b_id": pa.array([], pa.int64()),
-                **{c: pa.array([], pa.binary())
-                   for c in (*carry_binary, out_col)}})
-        if dedup_pairs:
-            p = p.drop_duplicates(["a_id", "b_id"])
-        pk = p[key_col].to_numpy().astype(np.int64)
-        idx = np.minimum(np.searchsorted(bkeys, pk), len(bkeys) - 1)
-        ok = bkeys[idx] == pk
-        return pa.table({
-            "a_id": pa.array(p["a_id"].to_numpy()[ok].astype(np.int64)),
-            "b_id": pa.array(p["b_id"].to_numpy()[ok].astype(np.int64)),
-            **{c: pa.array(list(p[c].to_numpy()[ok]), pa.binary())
-               for c in carry_binary},
-            out_col: pa.array(list(bvals[idx[ok]]), pa.binary()),
-        })
-
     out_empty = pa.table({
         "a_id": pa.array([], pa.int64()),
         "b_id": pa.array([], pa.int64()),
         **{c: pa.array([], pa.binary())
            for c in (*carry_binary, out_col)}})
-    return _grouped_apply(tagged, "_coarse", resolve, empty=out_empty)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        """Arrow-native group resolve: int64 ids as zero-copy numpy
+        views, binary payloads moved with Arrow ``take`` — never boxed
+        into Python bytes / pandas object arrays (the pandas group
+        conversion dominated the multi-million-row pair groups of the
+        embedding-LSH verify)."""
+        role = g["_role"].to_numpy(zero_copy_only=False)
+        keys_all = (g[key_col].to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False))
+        bidx = np.flatnonzero(role == 0)
+        pidx = np.flatnonzero(role != 0)
+        if len(pidx) == 0 or len(bidx) == 0:
+            return out_empty
+        bkeys = keys_all[bidx]
+        order = np.argsort(bkeys, kind="stable")
+        bkeys = bkeys[order]
+        bsel = bidx[order]                      # row index of each blob
+        if dedup_pairs:
+            a = (g["a_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64, copy=False)[pidx])
+            b = (g["b_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64, copy=False)[pidx])
+            o = np.lexsort((b, a))
+            first = np.concatenate(
+                ([True], (a[o][1:] != a[o][:-1])
+                 | (b[o][1:] != b[o][:-1])))
+            pidx = pidx[o[first]]
+        pk = keys_all[pidx]
+        idx = np.minimum(np.searchsorted(bkeys, pk), len(bkeys) - 1)
+        ok = bkeys[idx] == pk
+        take_p = pa.array(pidx[ok])             # pair rows that joined
+        take_b = pa.array(bsel[idx[ok]])        # their blob rows
+        return pa.table({
+            "a_id": pc.take(g["a_id"], take_p),
+            "b_id": pc.take(g["b_id"], take_p),
+            **{c: pc.take(g[c], take_p) for c in carry_binary},
+            out_col: pc.take(g["_payload"], take_b),
+        })
+
+    return _grouped_apply(tagged, "_coarse", resolve, empty=out_empty,
+                          group_format="pyarrow")
 
 
 def _perm_params(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -321,18 +341,51 @@ class MinHashStage:
         # and decode zero-copy with np.frombuffer
         return pa.table({
             self.id_col: batch[self.id_col],
-            "minhash": pa.array([sigs[i].tobytes()
-                                 for i in range(len(texts))], pa.binary()),
+            "minhash": _pack_blob_rows(sigs),
         })
+
+
+def _blob_matrix(col, dtype) -> np.ndarray:
+    """(n, w) matrix from a binary column of FIXED-width blobs.
+
+    Fast path: null-free fixed-width arrays are decoded straight off
+    the Arrow offsets + data buffers — no per-row Python ``bytes``
+    objects (``to_pylist`` + join boxed millions of blobs in the
+    verify stages). Falls back to the boxed path for ragged or
+    nullable columns."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 1), dtype=dtype)
+    if arr.null_count == 0:
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        off = off[arr.offset:arr.offset + n + 1]
+        w = off[1] - off[0]
+        if w > 0 and (np.diff(off) == w).all():
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            flat = np.ascontiguousarray(data[off[0]:off[-1]])
+            return flat.view(dtype).reshape(n, -1)
+    blobs = arr.to_pylist()
+    return np.frombuffer(b"".join(b or b"" for b in blobs),
+                         dtype=dtype).reshape(n, -1)
+
+
+def _pack_blob_rows(m: np.ndarray) -> pa.Array:
+    """Binary array with one fixed-width blob per matrix row, built
+    from the flat buffer (no n ``tobytes()`` Python objects)."""
+    n = len(m)
+    width = m.dtype.itemsize * (m.shape[1] if m.ndim > 1 else 1)
+    offsets = (np.arange(n + 1, dtype=np.int32) * width)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(m).tobytes())])
 
 
 def _decode_sig_blobs(col, n_perms: int) -> np.ndarray:
     """(n, n_perms) uint64 matrix from a binary signature column."""
-    blobs = col.to_pylist()
-    if not blobs:
-        return np.zeros((0, n_perms), dtype=np.uint64)
-    return np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(
-        len(blobs), n_perms)
+    m = _blob_matrix(col, np.uint64)
+    return m if len(m) else np.zeros((0, n_perms), dtype=np.uint64)
 
 
 def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int,
@@ -845,8 +898,7 @@ def _norm_vec_blocks(ds: "ray.data.Dataset", vec_col: str,
         m = m / norms
         return pa.table({
             id_col: batch[id_col],
-            "vec": pa.array([m[i].tobytes() for i in range(n)],
-                            pa.binary()),
+            "vec": _pack_blob_rows(m),
         })
 
     return ds.select_columns([id_col, vec_col]).map_batches(
@@ -854,11 +906,7 @@ def _norm_vec_blocks(ds: "ray.data.Dataset", vec_col: str,
 
 
 def _decode_vec_blobs(col) -> np.ndarray:
-    blobs = col.to_pylist()
-    if not blobs:
-        return np.zeros((0, 1), dtype=np.float64)
-    return np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(
-        len(blobs), -1)
+    return _blob_matrix(col, np.float64)
 
 
 def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
@@ -990,7 +1038,7 @@ def embedding_dup_pairs_lsh(ds: "ray.data.Dataset",
     def verify(batch: pa.Table) -> pa.Table:
         va = _decode_vec_blobs(batch["_v_a"])
         vb = _decode_vec_blobs(batch["_v_b"])
-        sims = (va * vb).sum(axis=1) if len(va) else \
+        sims = np.einsum("ij,ij->i", va, vb) if len(va) else \
             np.zeros(0, dtype=np.float64)
         keep = sims >= threshold
         return pa.table({"a_id": batch["a_id"].filter(pa.array(keep)),
