@@ -45,6 +45,15 @@ CRAWL_TIERS = {
               pipeline_depth=2),
     "scale": dict(round_ms=36_000_000, politeness_cap=50_000,
                   seen_capacity_per_shard=2_000_000),
+    # 3x drain window (>= 60 s at 32 CPUs): lifts the timed section
+    # far above the VM's +-25% wall-clock jitter for the scaling
+    # bench. politeness_cap must clear the fixture's mega hosts
+    # (~0.9M pages each at this scale) or every extra politeness
+    # window inserts a global barrier and the drain measures barrier
+    # overhead instead of engine throughput (measured: cap 50k -> 17
+    # windows, 25k URLs/s; cap 1M -> 1 window).
+    "scale4": dict(round_ms=36_000_000, politeness_cap=1_000_000,
+                   seen_capacity_per_shard=2_000_000),
     "t1": dict(round_ms=60_000, politeness_cap=10_000),
 }
 
@@ -59,7 +68,7 @@ def _ensure_fixture(tier: str) -> str:
     prepare_sharded_pages(os.path.join(fix, "pages.parquet"),
                           os.path.join(fix, f"sharded_{N_SHARDS}"), N_SHARDS)
     wide = os.path.join(fix, "seeds_wide.parquet")
-    if tier == "scale" and not os.path.exists(wide):
+    if tier.startswith("scale") and not os.path.exists(wide):
         # drain-bench seed list = every page URL (a mid-crawl
         # wide-frontier snapshot): measures steady-state frontier /
         # fetch / parse / dedup throughput rather than the link-depth
@@ -175,6 +184,9 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--levels", default="8,32",
                     help="comma pair of CPU counts for --scaling (N,4N)")
+    ap.add_argument("--scale-tier", default="scale",
+                    help="drain fixture for --scaling: scale (1.5M pages,"
+                         " ~20 s window) or scale4 (4.5M, >=60 s window)")
     args = ap.parse_args()
 
     if args.scaling:
@@ -197,7 +209,7 @@ def main() -> None:
                     ["taskset", "-c", f"0-{cpus - 1}",
                      sys.executable, os.path.abspath(__file__),
                      "--crawl-only", "--cpus", str(cpus),
-                     "--tier", "scale", "--trials", "1"],
+                     "--tier", args.scale_tier, "--trials", "1"],
                     capture_output=True, text=True, timeout=3600,
                     cwd=os.path.dirname(os.path.abspath(__file__)))
                 if p.returncode != 0:
@@ -212,8 +224,8 @@ def main() -> None:
         print(json.dumps({
             "metric": f"frontier-drain scaling efficiency ({lo_cpus} -> "
                       f"{hi_cpus} CPUs, fresh taskset-pinned processes, "
-                      f"interleaved trials x{args.trials}, 1.35M-URL "
-                      "frontier over the 1.5M-page fixture)",
+                      f"interleaved trials x{args.trials}, "
+                      f"{args.scale_tier} drain fixture)",
             "value": round(eff, 3), "unit": "efficiency",
             f"urls_per_sec_{lo_cpus}": ups[lo_cpus],
             f"urls_per_sec_{hi_cpus}": ups[hi_cpus],
@@ -237,7 +249,7 @@ def main() -> None:
         _ensure_fixture(args.tier)
         _warmup()
         trials = [_crawl(args.tier, f"crawl_{cpus}_{t}",
-                         wide_seeds=(args.tier == "scale"))
+                         wide_seeds=args.tier.startswith("scale"))
                   for t in range(args.trials)]
         # median trial (VM timing noise is ±15%)
         trials.sort(key=lambda c: c["sec"])

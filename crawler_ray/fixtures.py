@@ -41,7 +41,8 @@ import pyarrow.parquet as pq
 
 __all__ = ["WebConfig", "SyntheticWeb", "generate", "write_fixture", "SCALES"]
 
-SCALES = {"t1": 2_000, "t2": 20_000, "bench": 200_000, "scale": 1_500_000}
+SCALES = {"t1": 2_000, "t2": 20_000, "bench": 200_000,
+          "scale": 1_500_000, "scale4": 4_500_000}
 
 _LANGS = ["de", "da", "en", "fr", "bg", "hr", "el", "cz", "et", "fi", "hu",
           "it", "lv", "nl", "pl", "pt", "ro", "sk", "sl", "es", "se"]
@@ -344,8 +345,9 @@ class SyntheticWeb:
 
 def generate(scale: str = "t1", seed: int = 42, **overrides) -> SyntheticWeb:
     kw = {"n_pages": SCALES[scale],
-          "n_hosts": {"t1": 16, "t2": 64, "bench": 256, "scale": 1024}[scale]}
-    if scale == "scale":
+          "n_hosts": {"t1": 16, "t2": 64, "bench": 256, "scale": 1024,
+                      "scale4": 2048}[scale]}
+    if scale.startswith("scale"):
         # throughput-bench shape: wide listings / shallow chains so
         # waves are dominated by parallel parse work, not by the
         # inherently serial next-page discovery latency (deep chains

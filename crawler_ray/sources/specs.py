@@ -65,8 +65,10 @@ from crawler_ray.sources.registry import SourceSpec, register
 
 __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "denmark_page_parser", "france_page_parser",
+           "belgium_page_parser", "french_date_iso",
            "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC", "DENMARK_SPEC",
-           "FRANCE_SPEC", "FRANCE_API", "register_reference_specs"]
+           "FRANCE_SPEC", "FRANCE_API", "BELGIUM_SPEC",
+           "register_reference_specs"]
 
 
 def _classes(attrs) -> list[str]:
@@ -509,6 +511,222 @@ def france_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+# --------------------------------------------------------------------------
+# Belgium / APD–GBA (pygdpr/models/dpa/belgium/__init__.py)
+# --------------------------------------------------------------------------
+
+#: dateparser.parse(..., languages=['fr']) stand-in (belgium:142-166):
+#: stdlib map for the month names that appear in APD titles/dates.
+_FR_MONTHS = {
+    "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4,
+    "mai": 5, "juin": 6, "juillet": 7, "août": 8, "aout": 8,
+    "septembre": 9, "octobre": 10, "novembre": 11, "décembre": 12,
+    "decembre": 12,
+}
+
+
+def french_date_iso(s: str | None) -> str | None:
+    """First ``<day> <french-month> <year>`` anywhere in ``s`` → ISO
+    date string (handles ``'Publié le 6 mai 2021'``, ``'1er mars
+    2020'``), else None (the NoDate path)."""
+    toks = (s or "").strip().lower().split()
+    for i in range(1, len(toks) - 1):
+        m = _FR_MONTHS.get(toks[i])
+        if m is None:
+            continue
+        day = toks[i - 1][:-2] if toks[i - 1].endswith("er") \
+            else toks[i - 1]
+        try:
+            return f"{int(toks[i + 1]):04d}-{m:02d}-{int(day):02d}"
+        except ValueError:
+            return None
+    return None
+
+
+class _BelgiumListing(HTMLParser):
+    """APD search-results scanner (belgium:103-126): ``div#search-result``
+    → ``div.media`` rows, title + href in ``h3.media-title > a``;
+    annual-report pages (belgium:588-600) list their links inside
+    ``div.collapse`` groups of the ``div.page-body``. Pagination
+    (belgium:40-50): every ``ul.pagination li.page-item a`` href is a
+    results page — all are enqueued (forward order)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        self._in_results = False
+        self._results_depth: int | None = None
+        self._media_depth: int | None = None
+        self._in_media_title = False
+        self._row_href: str | None = None
+        self._row_title: list[str] | None = None
+        self._in_pagination = self._in_page_item = False
+        self._collapse_depth: int | None = None
+        self._col_href: str | None = None
+        self._col_text: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and _attr(attrs, "id") == "search-result":
+            self._in_results, self._results_depth = True, self._depth
+        elif tag == "div" and self._in_results and "media" in cls \
+                and self._media_depth is None:
+            self._media_depth = self._depth
+            self._row_href, self._row_title = None, None
+        elif tag == "h3" and self._media_depth is not None \
+                and "media-title" in cls:
+            self._in_media_title = True
+        elif tag == "a" and self._in_media_title and self._row_href is None:
+            self._row_href = _attr(attrs, "href")       # belgium:112-126
+            self._row_title = []
+        elif tag == "div" and "collapse" in cls \
+                and self._collapse_depth is None:
+            self._collapse_depth = self._depth          # belgium:593-600
+        elif tag == "a" and self._collapse_depth is not None:
+            self._col_href, self._col_text = _attr(attrs, "href"), []
+        elif tag == "ul" and "pagination" in cls:
+            self._in_pagination = True                  # belgium:40-50
+        elif tag == "li" and self._in_pagination and "page-item" in cls:
+            self._in_page_item = True
+        elif tag == "a" and self._in_page_item:
+            href = _attr(attrs, "href")
+            if href is not None:
+                self.page_hrefs.append(href)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            if self._row_title is not None and self._row_href:
+                title = " ".join("".join(self._row_title).split())
+                if title:
+                    self.results.append((title, "", self._row_href))
+                self._row_title = None
+            if self._col_text is not None and self._col_href:
+                title = " ".join("".join(self._col_text).split())
+                if title:
+                    self.results.append((title, "", self._col_href))
+                self._col_href, self._col_text = None, None
+        elif tag == "h3":
+            self._in_media_title = False
+        elif tag == "li":
+            self._in_page_item = False
+        elif tag == "ul":
+            self._in_pagination = False
+        elif tag == "div":
+            if self._media_depth == self._depth:
+                self._media_depth = None
+            if self._collapse_depth == self._depth:
+                self._collapse_depth = None
+            if self._results_depth == self._depth:
+                self._in_results = False
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._row_title is not None:
+            self._row_title.append(data)
+        if self._col_text is not None:
+            self._col_text.append(data)
+
+
+class _BelgiumDetail(HTMLParser):
+    """HTML decision page scanner (belgium:140-156): the French date
+    lives in ``div.date``; the body is ``div.page-body`` (title =
+    its first heading)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.date_text: list[str] = []
+        self.body_lines: list[str] = []
+        self._depth = 0
+        self._in_date = False
+        self._body_depth: int | None = None
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "date" in cls:
+            self._in_date = True
+        elif tag == "div" and "page-body" in cls and self._body_depth is None:
+            self._body_depth = self._depth
+        elif self._body_depth is not None and tag in (
+                "h1", "h2", "h3", "p", "li", "div", "br"):
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag == "div":
+            if self._in_date:
+                self._in_date = False
+            if self._body_depth == self._depth:
+                self._flush()
+                self._body_depth = None
+        elif tag in ("h1", "h2", "h3", "p", "li"):
+            self._flush()
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_date:
+            self.date_text.append(data)
+        elif self._body_depth is not None:
+            self._line.append(data)
+
+
+def belgium_page_parser(html: bytes | None) -> ParsedPage:
+    """Three payload shapes, mirroring belgium's three fetch paths:
+
+    - ``%PDF`` bytes (belgium:139 / 157-170 — decision PDFs linked
+      straight from the listing): text via the engine's own
+      :func:`crawler_ray.stages.convert.pdf_to_text_min` INSIDE the
+      crawl parse, title = first text line, date = the French date
+      after ``' du '`` in that title (``document_title.split(' du ')
+      [-1]`` + dateparser, belgium:158-166);
+    - an HTML decision page → ``div.date`` French date +
+      ``div.page-body`` text (belgium:140-156);
+    - a search-results / annual-report page → listing rows (every
+      pagination href is enqueued forward).
+    """
+    if html:
+        if html.lstrip()[:5] == b"%PDF-":
+            from crawler_ray.stages.convert import pdf_to_text_min
+            text = pdf_to_text_min(html)
+            lines = [ln for ln in text.split("\n") if ln.strip()]
+            if lines:
+                title = lines[0].strip()
+                iso = french_date_iso(title.split(" du ")[-1]) or ""
+                body = "\n".join(lines[1:])
+                return ParsedPage(
+                    kind="detail",
+                    text=f"{title}\nReleased {iso}\n{body}")
+            return ParsedPage(kind="binary")
+        if b"search-result" in html or b'class="collapse' in html \
+                or b"pagination" in html:
+            p = _BelgiumListing()
+            p.feed(html.decode("utf-8", errors="replace"))
+            if p.results or p.page_hrefs:
+                return ParsedPage(kind="listing", results=p.results,
+                                  out_links=p.page_hrefs)
+        if b"page-body" in html and b'class="date' in html:
+            p = _BelgiumDetail()
+            p.feed(html.decode("utf-8", errors="replace"))
+            iso = french_date_iso(" ".join(
+                "".join(p.date_text).split())) or ""
+            if p.body_lines:
+                title = p.body_lines[0]
+                body = "\n".join(p.body_lines[1:])
+                return ParsedPage(
+                    kind="detail",
+                    text=f"{title}\nReleased {iso}\n{body}")
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -562,9 +780,35 @@ FRANCE_SPEC = SourceSpec(
 )
 
 
+BELGIUM_SPEC = SourceSpec(
+    source_id="belgium-apd",
+    hosts=("www.autoriteprotectiondonnees.be",
+           "autoriteprotectiondonnees.be"),
+    seed_urls=(  # belgium:86-89, 208-209, 333-334, 454-455, 579 — the
+        # five get_docs_* sections become five seeds of ONE crawl
+        "https://www.autoriteprotectiondonnees.be/citoyen/chercher"
+        "?search_type%5B%5D=decision&search_subtype%5B%5D="
+        "dispute_chamber_substance_decisions&s=recent&l=25",
+        "https://www.autoriteprotectiondonnees.be/citoyen/chercher"
+        "?search_type%5B%5D=decision&search_subtype%5B%5D="
+        "general_secretary_decisions&s=recent&l=25",
+        "https://www.autoriteprotectiondonnees.be/citoyen/chercher"
+        "?q=GDPR&search_type%5B%5D=advice&s=recent&l=50",
+        "https://www.autoriteprotectiondonnees.be/citoyen/chercher"
+        "?search_type%5B%5D=recommendation&s=recent&l=25",
+        "https://www.autoriteprotectiondonnees.be/citoyen/l-autorite/"
+        "rapport-annuel",
+    ),
+    doc_types=("Decisions", "Decisions", "Opinions", "Guides",
+               "Annual Reports"),
+    pagination="forward",
+    page_parser=belgium_page_parser,
+)
+
+
 def register_reference_specs() -> list[SourceSpec]:
     """Register the reference-parity specs (call before building the
     pipeline, or pass the returned specs via an explicit registry)."""
     return [register(AUSTRIA_SPEC), register(ITALY_SPEC),
             register(EDPB_SPEC), register(DENMARK_SPEC),
-            register(FRANCE_SPEC)]
+            register(FRANCE_SPEC), register(BELGIUM_SPEC)]

@@ -451,3 +451,124 @@ def test_france_bearer_fetch_through_engine(ray_session, tmp_path):
             "Délibération SAN-2021-001": "2021-03-15",
             "Délibération SAN-2020-002": "2020-06-10"}).tolist()
     assert _ray.get(broker.stats.remote())["mints"] == 1   # single mint
+
+
+# --------------------------------------------------------------------------
+# Belgium: PDF documents straight from the listing + French dates
+# --------------------------------------------------------------------------
+
+BE = "https://www.autoriteprotectiondonnees.be"
+
+
+def _be_media(title, href):
+    return ('<div class="media"><h3 class="media-title">'
+            f'<a href="{href}">{title}</a></h3>'
+            '<span class="media-date">x</span></div>')
+
+
+def _be_listing(rows, page_hrefs=()):
+    pag = ""
+    if page_hrefs:
+        pag = ('<ul class="pagination">'
+               + "".join(f'<li class="page-item"><a href="{h}">p</a></li>'
+                         for h in page_hrefs) + "</ul>")
+    return ('<html><body><div id="search-result">'
+            + "".join(rows) + "</div>" + pag + "</body></html>").encode()
+
+
+def _be_html_doc(title, fr_date, body="corps de la decision"):
+    return (f'<html><body><div class="date">Publié le {fr_date}</div>'
+            f'<div class="page-body"><h1>{title}</h1><p>{body}</p></div>'
+            "</body></html>").encode()
+
+
+def _be_pdf_doc(title, body):
+    stream = f"BT ({title}) Tj ({body}) Tj ET".encode("ascii")
+    return (b"%PDF-1.4\n1 0 obj\n<< /Length 99 >>\nstream\n" + stream
+            + b"\nendstream\nendobj\n%%EOF")
+
+
+def test_belgium_parsers_standalone():
+    from crawler_ray.sources.specs import belgium_page_parser, french_date_iso
+
+    assert french_date_iso("6 mai 2021") == "2021-05-06"
+    assert french_date_iso("1er juillet 2020") == "2020-07-01"
+    assert french_date_iso("pas une date") is None
+
+    pdf = _be_pdf_doc("Decision quant au fond 63/2021 du 6 mai 2021",
+                      "texte de la decision")
+    det = belgium_page_parser(pdf)
+    lines = det.text.split("\n")
+    assert det.kind == "detail"
+    assert lines[0].endswith("du 6 mai 2021")
+    assert lines[1] == "Released 2021-05-06"          # belgium:158-166
+    assert "texte de la decision" in det.text
+
+    listing = belgium_page_parser(_be_listing(
+        [_be_media("Decision 15/2021", "/publications/d15")],
+        page_hrefs=["/chercher?page=2"]))
+    assert listing.kind == "listing"
+    assert listing.results == [("Decision 15/2021", "", "/publications/d15")]
+    assert listing.out_links == ["/chercher?page=2"]
+
+    # annual-report collapse shape (belgium:593-600)
+    annual = belgium_page_parser(
+        (b'<html><body><section id="page-content"><div class="page-body">'
+         b'<div class="collapse"><a href="/publications/rapport-2020">'
+         b'Rapport annuel 2020</a></div></div></section></body></html>'))
+    assert annual.kind == "listing"
+    assert annual.results == [
+        ("Rapport annuel 2020", "", "/publications/rapport-2020")]
+
+
+def test_belgium_pdf_docs_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the APD structure: pagination pages all
+    enqueue (forward), PDF decisions extract INSIDE the crawl parse
+    via pdf_to_text_min with the date recovered from the French
+    ``' du '`` title clause, HTML decisions read ``div.date``, and
+    the pre-GDPR decision is window-filtered at the detail."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import BELGIUM_SPEC
+
+    p1 = _be_listing(
+        [_be_media("Decision 15/2021", "/publications/d15"),
+         _be_media("Decision 63/2021 (PDF)", "/publications/d63.pdf"),
+         _be_media("Vieille decision", "/publications/old")],
+        page_hrefs=["/citoyen/chercher?l=25", "/citoyen/chercher?page=2"])
+    p2 = _be_listing([_be_media("Avis 22/2020", "/publications/a22")])
+    pages = _pages_table([
+        (f"{BE}/citoyen/chercher?l=25", p1),
+        (f"{BE}/citoyen/chercher?page=2", p2),
+        (f"{BE}/publications/d15",
+         _be_html_doc("Decision 15/2021", "15 mars 2021")),
+        (f"{BE}/publications/d63.pdf",
+         _be_pdf_doc("Decision quant au fond 63/2021 du 6 mai 2021",
+                     "texte de la decision")),
+        (f"{BE}/publications/old",
+         _be_html_doc("Vieille decision", "10 janvier 2017")),
+        (f"{BE}/publications/a22",
+         _be_html_doc("Avis 22/2020", "9 juin 2020")),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(_write(tmp_path, "pages.parquet", pages),
+              _seeds(tmp_path, [f"{BE}/citoyen/chercher?l=25"]),
+              _robots(tmp_path, ["www.autoriteprotectiondonnees.be"]),
+              out,
+              CrawlConfig(n_frontier_shards=2, n_seen_shards=2,
+                          n_page_shards=2,
+                          registry={h: BELGIUM_SPEC
+                                    for h in BELGIUM_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{BE}/citoyen/chercher?page=2" in fetched   # pagination walked
+    assert f"{BE}/publications/old" in fetched          # fetched, then
+    docs = finalize_docs(out).to_pandas()               # ...date-filtered
+    assert set(docs["title"]) == {
+        "Decision 15/2021",
+        "Decision quant au fond 63/2021 du 6 mai 2021",
+        "Avis 22/2020"}
+    d = docs.set_index("title")
+    assert str(d.loc["Decision quant au fond 63/2021 du 6 mai 2021",
+                     "release_date"]) == "2021-05-06"
+    assert str(d.loc["Decision 15/2021", "release_date"]) == "2021-03-15"
