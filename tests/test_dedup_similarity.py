@@ -274,3 +274,30 @@ def test_big_int64_ids_survive_joins(ray_session):
         comp = dup_components(pr, ids, local_threshold=thr).to_pandas()
         got = dict(zip(comp["doc_id"], comp["component"]))
         assert got == {a: a, b: a, base + 5: base + 5}
+
+
+def test_blob_codec_roundtrip():
+    """Zero-copy fixed-width codec: buffer fast path == boxed path,
+    sliced/chunked arrays and the ragged fallback included."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.dedup import _blob_matrix, _pack_blob_rows
+
+    rng = np.random.default_rng(7)
+    m = rng.integers(0, 1 << 63, size=(37, 16), dtype=np.uint64)
+    col = _pack_blob_rows(m)
+    assert col.to_pylist() == [row.tobytes() for row in m]
+    np.testing.assert_array_equal(_blob_matrix(col, np.uint64), m)
+    # sliced array: offsets no longer start at 0
+    np.testing.assert_array_equal(
+        _blob_matrix(col.slice(5, 20), np.uint64), m[5:25])
+    # chunked column (post-take / post-concat shape)
+    ch = pa.chunked_array([col.slice(0, 10), col.slice(10, 27)])
+    np.testing.assert_array_equal(_blob_matrix(ch, np.uint64), m)
+    # float64 vectors
+    v = rng.standard_normal((9, 32))
+    np.testing.assert_array_equal(
+        _blob_matrix(_pack_blob_rows(v), np.float64), v)
+    # empty column
+    assert _blob_matrix(col.slice(0, 0), np.uint64).shape == (0, 1)
