@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": A.sessionize,
         "stopwords_by_source": A.stopwords_by_source,
         "stopwords_global": A.stopwords_global,
+        "stopwords_global_ss": A.stopwords_global_ss,
         # training-data cleaning / reproducibility ops
         "doc_pii_redact": A.doc_pii_query,
         "doc_split": A.doc_split_query,

@@ -770,6 +770,76 @@ def stopwords_global(sf_dir: str, top_n: int = STOPWORDS_TOP_N
             .limit(top_n))
 
 
+def stopwords_global_ss(sf_dir: str, top_n: int = STOPWORDS_TOP_N,
+                        capacity: int | None = None) -> "pa.Table":
+    """:func:`stopwords_global` with each block's contribution capped
+    at a bounded summary (:mod:`crawler_ray.functions.topk`) — the
+    scale variant for corpora whose vocabulary (typos, ids, hashes)
+    grows with the data. Shuffle volume is ``O(blocks × capacity)``
+    instead of the vocabulary size; every reported term carries
+    certified ``[count_lo, count_hi]`` bounds and the report is
+    flagged ``stable`` when no dropped term could outrank it (the
+    usual case — stopword counts dwarf the tail bound). Driver-side
+    work is only the 64 per-group top-n lists + one tail row per
+    block. Tolerance-tested against the exact path."""
+    import zlib
+    from collections import Counter
+
+    from crawler_ray.functions.topk import (TAIL_MARKER, TOPK_CAPACITY,
+                                            merge_summaries,
+                                            summarize_counts)
+    cap = TOPK_CAPACITY if capacity is None else capacity
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            for term in _TERM_SPLIT.split((text or "").lower()):
+                if term:
+                    counts[term] += 1
+        items = sorted(counts.items())
+        terms = np.array([k for k, _ in items], dtype=object)
+        cnts = np.array([v for _, v in items], dtype=np.int64)
+        terms, cnts, tail = summarize_counts(terms, cnts, cap)
+        out_t = list(terms)
+        out_c = [int(c) for c in cnts]
+        if tail:
+            out_t.append(TAIL_MARKER)
+            out_c.append(tail)
+        return pa.table({
+            "term": pa.array(out_t, pa.string()),
+            "term_count": pa.array(out_c, pa.int64()),
+            "_c": pa.array([zlib.crc32(t.encode()) % 64 for t in out_t],
+                           pa.int64()),
+        })
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        tails = g[g["term"] == TAIL_MARKER]
+        m = (g[g["term"] != TAIL_MARKER]
+             .groupby("term", as_index=False)["term_count"].sum())
+        # a term lives wholly in one term-hash group, so the group sum
+        # IS its global count_lo — per-group top-n covers the report
+        m = m.sort_values(["term_count", "term"], ascending=[False, True],
+                          kind="mergesort").head(top_n)
+        out = pd.concat([m, tails[["term", "term_count"]]])
+        out["term_count"] = out["term_count"].astype(np.int64)
+        return out[["term", "term_count"]]
+
+    summary = (_read(sf_dir, "documents", columns=["text"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("_c")
+               .map_groups(per_group, batch_format="pandas")
+               .to_pandas())
+    report, tail_sum = merge_summaries(summary, top_n)
+    stable = bool(len(report)
+                  and int(report["count_lo"].iloc[-1]) > tail_sum)
+    return pa.table({
+        "term": pa.array(report["term"], pa.string()),
+        "count_lo": pa.array(report["count_lo"], pa.int64()),
+        "count_hi": pa.array(report["count_hi"], pa.int64()),
+        "stable": pa.array([stable] * len(report), pa.bool_()),
+    })
+
+
 # --------------------------------------------------------------------------
 # document text-analysis queries (kernels from functions/textops.py)
 # --------------------------------------------------------------------------

@@ -79,3 +79,28 @@ def test_revenue_by_nation_all_join_tiers(ray_session, con):
         pd.testing.assert_frame_equal(
             got[cols], ora[cols].astype(got[cols].dtypes.to_dict()),
             check_exact=True)
+
+
+def test_stopwords_global_ss_vs_exact(ray_session):
+    """Bounded-summary heavy hitters vs the exact merge: at default
+    capacity the report is exact and certified stable; at a tiny
+    capacity the stopword head must still surface with valid
+    [count_lo <= exact <= count_hi] bounds."""
+    from crawler_ray.pipelines.analytics import (stopwords_global,
+                                                 stopwords_global_ss)
+    exact = (stopwords_global(SF).to_pandas()
+             .set_index("term")["term_count"])
+
+    full = stopwords_global_ss(SF).to_pandas()
+    assert full["stable"].all()
+    assert list(full["term"]) == list(exact.index)
+    np.testing.assert_array_equal(full["count_lo"].to_numpy(),
+                                  exact.to_numpy())
+
+    tiny = stopwords_global_ss(SF, capacity=32).to_pandas()
+    top5 = set(exact.index[:5])
+    assert top5 <= set(tiny["term"])         # the head always survives
+    t = tiny.set_index("term")
+    for term in top5:
+        assert t.loc[term, "count_lo"] <= exact[term] \
+            <= t.loc[term, "count_hi"]
