@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": A.doc_pii_query,
         "doc_split": A.doc_split_query,
         "doc_filter_quality": A.doc_filter_query,
+        "doc_chunk": A.doc_chunk_query,
+        "doc_top_quality": A.doc_top_quality_query,
         # text analysis (M15-M23 + training-data ops)
         "doc_keywords": A.doc_keywords_query,
         "doc_enrich": A.doc_enrich_query,
@@ -283,6 +285,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": A.DOC_PII_SQL,
         "doc_split": A.DOC_SPLIT_SQL,
         "doc_filter_quality": A.DOC_FILTER_SQL,
+        "doc_chunk": A.DOC_CHUNK_SQL,
+        "doc_top_quality": A.DOC_TOP_QUALITY_SQL,
         "doc_stats": A.DOC_STATS_SQL,
         "doc_tokens": A.DOC_TOKENS_SQL,
         "doc_quality": A.DOC_QUALITY_SQL,

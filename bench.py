@@ -133,6 +133,9 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
         "dedup_embedding_lsh", "knn_cosine", "knn_lsh", "knn_ivf",
         "media_features", "crawl_reachable",
+        # round-3 additions
+        "doc_chunk", "doc_top_quality", "stopwords_global_ss",
+        "dedup_components", "events_hourly_hll",
     ]
     qs = E.queries()
     out = {}

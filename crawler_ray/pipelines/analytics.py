@@ -1014,6 +1014,90 @@ def doc_md5_query(sf_dir: str) -> "ray.data.Dataset":
             .map_batches(fn, batch_format="pyarrow"))
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 512, 64
+
+DOC_CHUNK_SQL = f"""
+SELECT d.doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+  substring(coalesce(d.text, ''),
+            CAST(t.i * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 AS BIGINT),
+            {CHUNK_SIZE}) AS chunk_text
+FROM documents d,
+  unnest(range(0,
+    CASE WHEN length(coalesce(d.text, '')) <= {CHUNK_SIZE} THEN 1
+    ELSE CAST(ceil((length(d.text) - {CHUNK_SIZE})
+                   / {float(CHUNK_SIZE - CHUNK_OVERLAP)}) AS BIGINT) + 1
+    END)) AS t(i)
+"""
+
+
+def doc_chunk_query(sf_dir: str, size: int = CHUNK_SIZE,
+                    overlap: int = CHUNK_OVERLAP) -> "ray.data.Dataset":
+    """Training-window chunking: each document explodes into
+    fixed-size character windows with ``overlap`` carry-over (the
+    sequence-packing precursor — token-exact packing sits behind the
+    tokenizer, but window boundaries are byte/char math and belong in
+    the engine). A pure ``flat_map``-shaped ``map_batches``: output
+    rows ≈ corpus_chars / step, no shuffle, streams block-by-block.
+    Chunk rows keep ``(doc_id, chunk_idx)`` so downstream dedup /
+    packing can re-key without re-reading the corpus."""
+    step = size - overlap
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        import math as _m
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id: list = []
+        out_idx: list = []
+        out_txt: list = []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            t = t or ""
+            n = 1 if len(t) <= size else 1 + _m.ceil((len(t) - size)
+                                                     / step)
+            for i in range(n):
+                out_id.append(did)
+                out_idx.append(i)
+                out_txt.append(t[i * step:i * step + size])
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string()),
+        })
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(chunks, batch_format="pyarrow"))
+
+
+DOC_TOP_QUALITY_SQL = rf"""
+WITH q AS ({DOC_QUALITY_SQL})
+SELECT doc_id, quality FROM q
+WHERE quality >= (SELECT quantile_disc(quality, 0.75) FROM q)
+"""
+
+
+def doc_top_quality_query(sf_dir: str, q: float = 0.75
+                          ) -> "ray.data.Dataset":
+    """Keep the top ``(1-q)`` of documents by composite quality score,
+    with the threshold computed EXACTLY and distributed
+    (:mod:`crawler_ray.functions.quantile` histogram refinement —
+    ``O(blocks × 8192)`` ints per counting pass, never a value
+    shuffle), then a stateless filter pass over the materialized
+    score table. Threshold semantics match DuckDB ``quantile_disc``
+    bit-for-bit, so the query is hash-checked, not rows-only."""
+    import pyarrow.compute as _pc
+
+    from crawler_ray.functions.quantile import exact_quantile_disc
+    from crawler_ray.functions.textops import quality_scores
+    scores = (_read(sf_dir, "documents", columns=["doc_id", "text"])
+              .map_batches(quality_scores, batch_format="pyarrow")
+              .select_columns(["doc_id", "quality"])
+              .materialize())
+    thr = exact_quantile_disc(scores, "quality", q)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.greater_equal(batch["quality"], thr))
+
+    return scores.map_batches(keep, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # keyword top-k per doc (M16, unigram variant — SQL-checkable; the full
 # 1..3-gram extractor is functions/metadata.keywords_batch)

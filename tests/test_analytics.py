@@ -104,3 +104,54 @@ def test_stopwords_global_ss_vs_exact(ray_session):
     for term in top5:
         assert t.loc[term, "count_lo"] <= exact[term] \
             <= t.loc[term, "count_hi"]
+
+
+def test_doc_chunk_vs_oracle(ray_session, con):
+    from crawler_ray.pipelines.analytics import (DOC_CHUNK_SQL,
+                                                 doc_chunk_query)
+    keys = ["doc_id", "chunk_idx"]
+    r = (doc_chunk_query(SF).to_pandas()
+         .sort_values(keys).reset_index(drop=True))
+    o = (con.execute(DOC_CHUNK_SQL).fetchdf()
+         .sort_values(keys).reset_index(drop=True))
+    pd.testing.assert_frame_equal(r, o, check_exact=True)
+    # overlap really carries over: consecutive chunks share 64 chars
+    big = r[r["doc_id"] == r.groupby("doc_id").size().idxmax()]
+    if len(big) >= 2:
+        a, b = big["chunk_text"].iloc[0], big["chunk_text"].iloc[1]
+        assert a[-64:] == b[:64]
+
+
+def test_doc_top_quality_vs_oracle(ray_session, con):
+    """Exact distributed quantile threshold == DuckDB quantile_disc,
+    and the filtered row set matches exactly."""
+    from crawler_ray.pipelines.analytics import (DOC_TOP_QUALITY_SQL,
+                                                 doc_top_quality_query)
+    r = (doc_top_quality_query(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    o = (con.execute(DOC_TOP_QUALITY_SQL).fetchdf()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(r, o, check_exact=True)
+    assert len(r) > 0
+
+
+def test_exact_kth_value_random(ray_session):
+    """Histogram-refinement selection == np.partition on random data,
+    including ranks at both extremes and a heavy-tie column."""
+    import ray as _ray
+
+    from crawler_ray.functions.quantile import (exact_kth_value,
+                                                exact_quantile_disc)
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.standard_normal(20_000) * 100,
+                           np.full(5_000, 3.25)])       # tie mass
+    ds = _ray.data.from_arrow(
+        __import__("pyarrow").table({"x": vals})).repartition(16) \
+        .materialize()
+    srt = np.sort(vals)
+    for k in [0, 1, 12_345, len(vals) - 1]:
+        assert exact_kth_value(ds, "x", k) == srt[k], k
+    import math
+    for q in (0.25, 0.5, 0.9):
+        k = max(0, math.ceil(q * len(vals)) - 1)
+        assert exact_quantile_disc(ds, "x", q) == srt[k], q
