@@ -2,8 +2,23 @@
 
 The registry (``registry.py``) is the plugin surface; this module
 proves it carries the reference's actual listing structures by
-implementing five of the hand-written scrapers as ``page_parser``
-callables over their real DOM shapes:
+implementing nine of the hand-written scrapers as ``page_parser``
+callables over their real DOM shapes (plus the three below the
+original six):
+
+- **Finland** (finland:50-160): year-bucketed single-page archive
+  (``ul.results[id=year]`` → ``li.list__item``), ``%d.%m.%Y`` dates,
+  ``div.news-page`` details that also surface attachment PDFs as
+  frontier links.
+- **Netherlands** (netherlands:36-100): numbered ``div.pager``
+  pagination, Dutch textual dates TRAILING the row text
+  (``… (3 oktober 2019)``), one ``main-content-article`` container
+  serving both listing and detail shapes.
+- **Spain / AEPD** (spain:50-160): Drupal view rows whose dates are
+  ``time[datetime]`` attributes and whose documents are direct PDF
+  links (non-PDF rows skipped); ``ul.pager__items`` pagination with
+  the page-0 skip rule; the sequential ``sys.exit`` on outdated years
+  subsumed by the engine's window filter.
 
 - **Austria / RIS** (``pygdpr/models/dpa/austria/__init__.py:79-113``):
   results live in ``<table class="bocListTable"><tbody
@@ -65,9 +80,12 @@ from crawler_ray.sources.registry import SourceSpec, register
 
 __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "denmark_page_parser", "france_page_parser",
-           "belgium_page_parser", "french_date_iso",
+           "belgium_page_parser", "finland_page_parser",
+           "netherlands_page_parser", "spain_page_parser",
+           "french_date_iso", "dutch_date_iso",
            "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC", "DENMARK_SPEC",
-           "FRANCE_SPEC", "FRANCE_API", "BELGIUM_SPEC",
+           "FRANCE_SPEC", "FRANCE_API", "BELGIUM_SPEC", "FINLAND_SPEC",
+           "NETHERLANDS_SPEC", "SPAIN_SPEC",
            "register_reference_specs"]
 
 
@@ -727,6 +745,381 @@ def belgium_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+# --------------------------------------------------------------------------
+# Finland: year-bucketed single-page archive + in-detail PDF attachments
+# --------------------------------------------------------------------------
+
+class _FinlandListing(HTMLParser):
+    """tietosuoja.fi current-issues scanner (finland:50-90 semantics):
+    the archive LOOKS paginated by year but is one big page — every
+    year is a ``<ul class="results" id="YYYY">`` holding
+    ``<li class="list__item">`` rows with a ``span.date``
+    (``%d.%m.%Y``, finland:62-65) and the doc ``<a>`` (title = link
+    text, finland:71-74). No pagination at all."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self._in_results_ul = False
+        self._item_depth: int | None = None
+        self._depth = 0
+        self._row_href: str | None = None
+        self._row_title: list[str] | None = None
+        self._row_date: list[str] | None = None
+        self._in_date = self._in_a = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "ul" and "results" in cls:
+            self._in_results_ul = True
+        elif tag == "li" and self._in_results_ul and "list__item" in cls:
+            self._item_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._item_depth is not None:
+            if tag == "span" and "date" in cls:
+                self._in_date = True                   # finland:62-65
+            elif tag == "a" and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # finland:71-86
+                self._in_a = True
+
+    def handle_endtag(self, tag):
+        if tag == "span":
+            self._in_date = False
+        elif tag == "a":
+            self._in_a = False
+        elif tag == "li" and self._item_depth == self._depth:
+            title = " ".join("".join(self._row_title or []).split())
+            date = " ".join("".join(self._row_date or []).split())
+            if title and self._row_href:
+                self.results.append((title, date, self._row_href))
+            self._item_depth = None
+        elif tag == "ul":
+            self._in_results_ul = False
+        if tag != "li" or self._item_depth is None:
+            pass
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_date and self._row_date is not None:
+            self._row_date.append(data)
+        elif self._in_a and self._row_title is not None:
+            self._row_title.append(data)
+
+
+class _FinlandDetail(HTMLParser):
+    """``div.news-page`` article scanner (finland:103-116): text =
+    the container's text; every ``.pdf`` link inside it is an
+    ATTACHMENT the reference downloads alongside the article
+    (finland:121-160) — surfaced as ``pdf_links`` so the crawl
+    enqueues them as binary docs instead of re-fetching per link
+    inline. The article's ``span.date`` carries the publication
+    date."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._depth = 0
+        self._container: int | None = None
+        self.lines: list[str] = []
+        self._buf: list[str] = []
+        self.date_text: list[str] = []
+        self.pdf_links: list[str] = []
+        self._in_date = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "news-page" in cls and self._container is None:
+            self._container = self._depth
+        elif self._container is not None:
+            if tag == "span" and "date" in cls:
+                self._in_date = True
+            elif tag == "a":
+                href = _attr(attrs, "href")
+                if href and href.endswith(".pdf"):     # finland:121-138
+                    self.pdf_links.append(href)
+
+    def _flush(self):
+        line = " ".join("".join(self._buf).split())
+        self._buf = []
+        if line:
+            self.lines.append(line)
+
+    def handle_endtag(self, tag):
+        if tag == "span":
+            self._in_date = False
+        if self._container is not None and tag in (
+                "p", "h1", "h2", "h3", "li", "div"):
+            self._flush()
+        if self._container == self._depth and tag == "div":
+            self._container = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_date:
+            self.date_text.append(data)
+        elif self._container is not None:
+            self._buf.append(data)
+
+
+def finland_page_parser(html: bytes | None) -> ParsedPage:
+    """Tietosuojavaltuutettu parser. The listing's year buckets all
+    live on one page (finland:50-55) so there is no pagination;
+    ``%d.%m.%Y`` dates ride into the engine's window filter (the
+    reference's in-loop ``date.year < 2018`` skip, finland:66-69, is
+    subsumed). Details emit their article text + date and surface
+    attachment PDFs as out-links (the reference downloads them in the
+    same loop iteration, finland:121-160 — here they are just more
+    frontier URLs, fetched by the same politeness-governed stage)."""
+    if html and b'class="results"' in html and b"list__item" in html:
+        p = _FinlandListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results:
+            return ParsedPage(kind="listing", results=p.results)
+    if html and b"news-page" in html:
+        p = _FinlandDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.lines:
+            from crawler_ray.functions.dates import parse_date_multi
+            d = parse_date_multi(" ".join(
+                "".join(p.date_text).split()))
+            iso = d.isoformat() if d else ""
+            title, body = p.lines[0], "\n".join(p.lines[1:])
+            return ParsedPage(kind="detail",
+                              text=f"{title}\nReleased {iso}\n{body}",
+                              out_links=p.pdf_links)
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Netherlands: numbered div.pager pagination + Dutch dates in row text
+# --------------------------------------------------------------------------
+
+_NL_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["januari", "februari", "maart", "april", "mei", "juni", "juli",
+     "augustus", "september", "oktober", "november", "december"])}
+
+
+def dutch_date_iso(s: str | None) -> str | None:
+    """First ``<day> <dutch-month> <year>`` in ``s`` → ISO date.
+    Mirrors netherlands:84-95: the day/year tokens are stripped to
+    their digits (the reference scrubs the surrounding parentheses
+    char-by-char), the month resolved by name."""
+    toks = (s or "").strip().lower().split()
+    for i in range(1, len(toks) - 1):
+        m = _NL_MONTHS.get(toks[i].strip("().,"))
+        if m is None:
+            continue
+        day = "".join(c for c in toks[i - 1] if c.isdigit())
+        year = "".join(c for c in toks[i + 1] if c.isdigit())
+        try:
+            return f"{int(year):04d}-{m:02d}-{int(day):02d}"
+        except ValueError:
+            return None
+    return None
+
+
+class _NetherlandsListing(HTMLParser):
+    """autoriteitpersoonsgegevens.nl scanner (netherlands:68-100):
+    rows are ``<li><a href>title</a> (3 oktober 2019)</li>`` inside
+    the ``<ul>``s of ``div.main-content-article`` — the date is the
+    TRAILING text of the row, not an attribute. Pagination
+    (netherlands:36-45): every ``<a>`` of ``div.pager``'s ``ul``.
+    Doubles as the detail scanner: the article text accumulates in
+    ``lines`` for pages whose container has no dated rows."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self.lines: list[str] = []
+        self._depth = 0
+        self._container: int | None = None
+        self._li_depth: int | None = None
+        self._li_href: str | None = None
+        self._li_title: list[str] = []
+        self._li_tail: list[str] = []
+        self._in_li_a = False
+        self._in_pager = False
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "main-content-article" in cls \
+                and self._container is None:
+            self._container = self._depth
+        elif tag == "div" and "pager" in cls:
+            self._in_pager = True
+        elif self._in_pager and tag == "a":
+            href = _attr(attrs, "href")
+            if href:                                    # netherlands:36-44
+                self.page_hrefs.append(href)
+        elif self._container is not None:
+            if tag == "li" and self._li_depth is None:
+                self._li_depth = self._depth
+                self._li_href, self._li_title, self._li_tail = None, [], []
+            elif tag == "a" and self._li_depth is not None \
+                    and self._li_href is None:
+                self._li_href = _attr(attrs, "href")    # netherlands:97-99
+                self._in_li_a = True
+
+    def _flush(self):
+        line = " ".join("".join(self._buf).split())
+        self._buf = []
+        if line:
+            self.lines.append(line)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_li_a = False
+        elif tag == "li" and self._li_depth == self._depth:
+            title = " ".join("".join(self._li_title).split())
+            iso = dutch_date_iso("".join(self._li_tail)) or ""
+            if title and self._li_href:                 # netherlands:84-100
+                self.results.append((title, iso, self._li_href))
+            self._li_depth = None
+        elif tag == "div" and self._in_pager:
+            self._in_pager = False
+        if self._container is not None and tag in (
+                "p", "h1", "h2", "h3", "div"):
+            self._flush()
+        if self._container == self._depth and tag == "div":
+            self._container = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_li_a:
+            self._li_title.append(data)
+        elif self._li_depth is not None:
+            self._li_tail.append(data)
+        elif self._container is not None:
+            self._buf.append(data)
+
+
+def netherlands_page_parser(html: bytes | None) -> ParsedPage:
+    """AP parser: one container class serves both page shapes
+    (netherlands:79 vs :131 read the same ``main-content-article``),
+    so the shape is decided by CONTENT — dated list rows or pager
+    links ⇒ listing, else article detail. Dutch dates normalize to
+    ISO in the parser so the engine's standard window filter applies
+    (``ShouldRetainDocumentSpecification``, netherlands:96-97).
+    Detail pages emit ``title\\nReleased iso\\nbody`` with the date
+    recovered from the first Dutch date in the article text."""
+    if html and b"main-content-article" in html:
+        p = _NetherlandsListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+        if p.lines:
+            iso = next((d for d in map(dutch_date_iso, p.lines)
+                        if d), "")
+            title, body = p.lines[0], "\n".join(p.lines[1:])
+            return ParsedPage(kind="detail",
+                              text=f"{title}\nReleased {iso}\n{body}")
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Spain: Drupal view with <time datetime> rows linking straight to PDFs
+# --------------------------------------------------------------------------
+
+class _SpainListing(HTMLParser):
+    """AEPD resoluciones scanner (spain:110-150): Drupal
+    ``div.view-content`` → ``div.views-row`` rows; the doc link lives
+    in ``div.views-field-title > a`` and must point at a ``.pdf``
+    (non-PDF rows are skipped, spain:135-137), the date is the
+    ``datetime`` attribute of the ``<time>`` inside
+    ``div.views-field-field-advertise-on`` (ISO, split at ``T``,
+    spain:141-148). Pagination (spain:50-68): ``nav.pager`` →
+    ``ul.pager__items`` → ``li.pager__item`` links, skipping hrefs
+    ending in ``0`` (the reference's don't-revisit-page-0 rule)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        self._in_content = False
+        self._row_depth: int | None = None
+        self._in_field_title = self._in_title_a = False
+        self._in_advertise = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_date: str = ""
+        self._in_pager_items = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "view-content" in cls:
+            self._in_content = True
+        elif tag == "div" and self._in_content and "views-row" in cls \
+                and self._row_depth is None:
+            self._row_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], ""
+            self._in_field_title = self._in_advertise = False
+        elif self._row_depth is not None:
+            if tag == "div" and "views-field-title" in cls:
+                self._in_field_title = True
+            elif tag == "div" and "views-field-field-advertise-on" in cls:
+                self._in_advertise = True
+            elif tag == "a" and self._in_field_title \
+                    and self._row_href is None:
+                self._row_href = _attr(attrs, "href")   # spain:116-133
+                self._in_title_a = True
+            elif tag == "time" and self._in_advertise:
+                dt = _attr(attrs, "datetime") or ""     # spain:141-148
+                self._row_date = dt.split("T")[0]
+        if tag == "ul" and "pager__items" in cls:
+            self._in_pager_items = True
+        elif tag == "a" and self._in_pager_items:
+            href = _attr(attrs, "href")
+            # spain:65-68: skip links back to page 0 / the first page
+            if href and not href.endswith("0"):
+                self.page_hrefs.append(href)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_title_a = False
+        elif tag == "ul":
+            self._in_pager_items = False
+        elif tag == "div":
+            if self._row_depth == self._depth:
+                title = " ".join("".join(self._row_title).split())
+                # spain:135-137 — only direct-PDF rows become documents
+                if title and self._row_href \
+                        and self._row_href.endswith(".pdf"):
+                    self.results.append(
+                        (title, self._row_date, self._row_href))
+                self._row_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_title_a:
+            self._row_title.append(data)
+
+
+def spain_page_parser(html: bytes | None) -> ParsedPage:
+    """AEPD listing parser. The ISO dates from ``time[datetime]``
+    ride into the engine's window filter, which subsumes BOTH of the
+    reference's sequential rules — the ``year < 2018`` row skip AND
+    the ``year < 2017`` hard ``sys.exit`` (spain:152-160): the exit
+    is only an optimization valid because the view is date-sorted,
+    and a parallel crawl gets the same document SET from the filter
+    alone. Documents are the PDFs themselves (binary fetch, text via
+    the convert stage), exactly like Austria's RIS."""
+    if html and b"views-row" in html and (
+            b"views-field-title" in html or b"pager__items" in html):
+        p = _SpainListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -806,9 +1199,47 @@ BELGIUM_SPEC = SourceSpec(
 )
 
 
+FINLAND_SPEC = SourceSpec(
+    source_id="finland-tietosuoja",
+    hosts=("tietosuoja.fi", "www.tietosuoja.fi"),
+    seed_urls=("https://tietosuoja.fi/en/current-issues",),  # finland:33
+    doc_types=("Decisions",),
+    pagination="forward",                  # single page — no pager at all
+    page_parser=finland_page_parser,
+)
+
+NETHERLANDS_SPEC = SourceSpec(
+    source_id="netherlands-ap",
+    hosts=("autoriteitpersoonsgegevens.nl",
+           "www.autoriteitpersoonsgegevens.nl"),
+    seed_urls=(  # netherlands:70-72, 28: the get_docs_* sections
+        "https://autoriteitpersoonsgegevens.nl/nl/publicaties/"
+        "boetes-en-sancties",
+        "https://autoriteitpersoonsgegevens.nl/nl/wetgevingsadviezen",
+    ),
+    doc_types=("Decisions", "Reports"),
+    pagination="forward",
+    page_parser=netherlands_page_parser,
+)
+
+SPAIN_SPEC = SourceSpec(
+    source_id="spain-aepd",
+    hosts=("www.aepd.es", "aepd.es"),
+    seed_urls=(  # spain:99 — the RGPD-filtered resoluciones view
+        "https://www.aepd.es/es/informes-y-resoluciones/resoluciones"
+        "?f%5B0%5D=ley_tipificacion_de_la_gravedad%3AReglamento%20"
+        "General%20de%20Protecci%C3%B3n%20de%20Datos",),
+    doc_types=("Decisions", "Reports", "Guides"),
+    pagination="forward",
+    page_parser=spain_page_parser,
+)
+
+
 def register_reference_specs() -> list[SourceSpec]:
     """Register the reference-parity specs (call before building the
     pipeline, or pass the returned specs via an explicit registry)."""
     return [register(AUSTRIA_SPEC), register(ITALY_SPEC),
             register(EDPB_SPEC), register(DENMARK_SPEC),
-            register(FRANCE_SPEC), register(BELGIUM_SPEC)]
+            register(FRANCE_SPEC), register(BELGIUM_SPEC),
+            register(FINLAND_SPEC), register(NETHERLANDS_SPEC),
+            register(SPAIN_SPEC)]

@@ -572,3 +572,249 @@ def test_belgium_pdf_docs_through_engine(ray_session, tmp_path):
     assert str(d.loc["Decision quant au fond 63/2021 du 6 mai 2021",
                      "release_date"]) == "2021-05-06"
     assert str(d.loc["Decision 15/2021", "release_date"]) == "2021-03-15"
+
+
+# --------------------------------------------------------------------------
+# Finland: year-bucketed single-page archive + attachment PDFs
+# --------------------------------------------------------------------------
+
+FI = "https://tietosuoja.fi"
+
+
+def _fi_item(title, date, href):
+    return ('<li class="list__item">'
+            f'<span class="date">{date}</span>'
+            f'<a href="{href}">{title}</a></li>')
+
+
+def _fi_archive(buckets):
+    uls = "".join(
+        f'<ul class="results" id="{year}">' + "".join(items) + "</ul>"
+        for year, items in buckets)
+    return f"<html><body>{uls}</body></html>".encode()
+
+
+def _fi_doc(title, date, body="artikkelin teksti", pdfs=()):
+    links = "".join(f'<p><a href="{h}">liite</a></p>' for h in pdfs)
+    return (f'<html><body><div class="news-page">'
+            f'<span class="date">{date}</span><h1>{title}</h1>'
+            f"<p>{body}</p>{links}</div></body></html>").encode()
+
+
+def test_finland_year_buckets_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the tietosuoja.fi structure: every year
+    bucket lives on ONE page (no pagination), d.m.Y dates window-
+    filter pre-GDPR rows at the listing, and detail articles surface
+    their attachment PDFs as frontier links fetched as binary."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import FINLAND_SPEC
+
+    archive = _fi_archive([
+        ("2021", [_fi_item("Päätös Yksi", "15.3.2021", "/en/d1")]),
+        ("2020", [_fi_item("Päätös Kaksi", "2.6.2020", "/en/d2")]),
+        ("2017", [_fi_item("Vanha Päätös", "1.1.2017", "/en/old")]),
+    ])
+    pages = _pages_table([
+        (f"{FI}/en/current-issues", archive),
+        (f"{FI}/en/d1", _fi_doc("Päätös Yksi", "15.3.2021",
+                                pdfs=["/files/liite1.pdf"])),
+        (f"{FI}/en/d2", _fi_doc("Päätös Kaksi", "2.6.2020")),
+        (f"{FI}/en/old", _fi_doc("Vanha Päätös", "1.1.2017")),
+        (f"{FI}/files/liite1.pdf", b"%PDF-1.4 stub"),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(_write(tmp_path, "pages.parquet", pages),
+              _seeds(tmp_path, [f"{FI}/en/current-issues"]),
+              _robots(tmp_path, ["tietosuoja.fi"]), out,
+              CrawlConfig(n_frontier_shards=2, n_seen_shards=2,
+                          n_page_shards=2,
+                          registry={h: FINLAND_SPEC
+                                    for h in FINLAND_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{FI}/en/old" not in fetched          # listing date filter
+    assert f"{FI}/files/liite1.pdf" in fetched    # attachment followed
+    assert log.set_index("url").loc[f"{FI}/files/liite1.pdf", "kind"] \
+        == "binary"
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Päätös Yksi", "Päätös Kaksi"}
+    assert str(docs.loc["Päätös Yksi", "release_date"]) == "2021-03-15"
+
+
+# --------------------------------------------------------------------------
+# Netherlands: div.pager numbered pagination + Dutch dates in row text
+# --------------------------------------------------------------------------
+
+NL = "https://autoriteitpersoonsgegevens.nl"
+
+
+def _nl_listing(rows, pager_hrefs=()):
+    lis = "".join(
+        f'<li><a href="{href}">{title}</a> ({date})</li>'
+        for title, date, href in rows)
+    pager = ""
+    if pager_hrefs:
+        pager = ('<div class="pager"><ul>' + "".join(
+            f'<li><a href="{h}">{i + 1}</a></li>'
+            for i, h in enumerate(pager_hrefs)) + "</ul></div>")
+    return (f'<html><body><div class="main-content-article">'
+            f"<ul>{lis}</ul></div>{pager}</body></html>").encode()
+
+
+def _nl_doc(title, nl_date, body="tekst van het besluit"):
+    return (f'<html><body><div class="main-content-article">'
+            f"<h1>{title}</h1><p>Gepubliceerd {nl_date}</p><p>{body}</p>"
+            "</div></body></html>").encode()
+
+
+def test_netherlands_pager_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the AP structure: numbered pager pages all
+    enqueue, Dutch trailing dates window-filter at the listing, and
+    the SAME container class parses as detail on article pages (shape
+    decided by content)."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import NETHERLANDS_SPEC
+
+    p1 = _nl_listing(
+        [("Boete Alpha", "3 oktober 2019", "/nl/b1"),
+         ("Oud Besluit", "10 januari 2017", "/nl/old")],
+        pager_hrefs=["/nl/publicaties/boetes-en-sancties",
+                     "/nl/publicaties/boetes-en-sancties?page=2"])
+    p2 = _nl_listing([("Boete Beta", "6 mei 2021", "/nl/b2")])
+    pages = _pages_table([
+        (f"{NL}/nl/publicaties/boetes-en-sancties", p1),
+        (f"{NL}/nl/publicaties/boetes-en-sancties?page=2", p2),
+        (f"{NL}/nl/b1", _nl_doc("Boete Alpha", "3 oktober 2019")),
+        (f"{NL}/nl/old", _nl_doc("Oud Besluit", "10 januari 2017")),
+        (f"{NL}/nl/b2", _nl_doc("Boete Beta", "6 mei 2021")),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(_write(tmp_path, "pages.parquet", pages),
+              _seeds(tmp_path,
+                     [f"{NL}/nl/publicaties/boetes-en-sancties"]),
+              _robots(tmp_path, ["autoriteitpersoonsgegevens.nl"]), out,
+              CrawlConfig(n_frontier_shards=2, n_seen_shards=2,
+                          n_page_shards=2,
+                          registry={h: NETHERLANDS_SPEC
+                                    for h in NETHERLANDS_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{NL}/nl/publicaties/boetes-en-sancties?page=2" in fetched
+    assert f"{NL}/nl/old" not in fetched          # Dutch date filtered
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Boete Alpha", "Boete Beta"}
+    assert str(docs.loc["Boete Alpha", "release_date"]) == "2019-10-03"
+    assert str(docs.loc["Boete Beta", "release_date"]) == "2021-05-06"
+
+
+# --------------------------------------------------------------------------
+# Spain: Drupal time[datetime] rows linking straight to PDFs
+# --------------------------------------------------------------------------
+
+ES = "https://www.aepd.es"
+
+
+def _es_row(title, iso_dt, href):
+    return ('<div class="views-row">'
+            '<div class="views-field-title">'
+            f'<a href="{href}">{title}</a></div>'
+            '<div class="views-field-field-advertise-on">'
+            f'<time datetime="{iso_dt}">x</time></div></div>')
+
+
+def _es_listing(rows, pager_hrefs=()):
+    pager = ""
+    if pager_hrefs:
+        pager = ('<nav class="pager"><ul class="pager__items">'
+                 + "".join(f'<li class="pager__item"><a href="{h}">p</a>'
+                           "</li>" for h in pager_hrefs)
+                 + "</ul></nav>")
+    return (f'<html><body><div class="view-content">'
+            + "".join(rows) + "</div>" + pager + "</body></html>").encode()
+
+
+def test_spain_pdf_listing_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the AEPD structure: time[datetime] ISO
+    dates window-filter at the listing (subsuming the reference's
+    sequential year<2017 sys.exit), non-PDF rows never enqueue, the
+    pager__items links follow with the page-0 decoy skipped."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import SPAIN_SPEC
+
+    p1 = _es_listing(
+        [_es_row("Resolución PS-2021-001", "2021-03-15T09:00:00Z",
+                 "/docs/ps1.pdf"),
+         _es_row("Nota informativa", "2021-04-01T09:00:00Z",
+                 "/docs/nota.html"),                  # non-PDF: skipped
+         _es_row("Resolución antigua", "2016-05-01T09:00:00Z",
+                 "/docs/old.pdf")],                   # pre-GDPR: filtered
+        pager_hrefs=["?page=0", "?page=1"])
+    p2 = _es_listing(
+        [_es_row("Resolución PS-2020-044", "2020-06-10T09:00:00Z",
+                 "/docs/ps44.pdf")])
+    pdf = b"%PDF-1.4 stub"
+    pages = _pages_table([
+        (f"{ES}/es/resoluciones", p1),
+        (f"{ES}/es/resoluciones?page=1", p2),
+        (f"{ES}/docs/ps1.pdf", pdf), (f"{ES}/docs/old.pdf", pdf),
+        (f"{ES}/docs/ps44.pdf", pdf),
+        (f"{ES}/docs/nota.html", b"<html><body>x</body></html>"),
+    ])
+    out = str(tmp_path / "out")
+    summary = run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{ES}/es/resoluciones"]),
+        _robots(tmp_path, ["www.aepd.es"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: SPAIN_SPEC for h in SPAIN_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert fetched == {
+        f"{ES}/es/resoluciones", f"{ES}/es/resoluciones?page=1",
+        f"{ES}/docs/ps1.pdf", f"{ES}/docs/ps44.pdf",
+    }  # no old.pdf (window), no nota.html (non-PDF), no ?page=0 decoy
+    assert summary["urls_fetched"] == 4
+    assert log.set_index("url").loc[f"{ES}/docs/ps1.pdf", "kind"] \
+        == "binary"
+
+
+def test_new_parsers_standalone():
+    """Unit: the three new DOM shapes → ParsedPage without the engine."""
+    from crawler_ray.sources.specs import (dutch_date_iso,
+                                           finland_page_parser,
+                                           netherlands_page_parser,
+                                           spain_page_parser)
+
+    assert dutch_date_iso("(3 oktober 2019)") == "2019-10-03"
+    assert dutch_date_iso("Gepubliceerd 6 mei 2021.") == "2021-05-06"
+    assert dutch_date_iso("geen datum hier") is None
+
+    fi = finland_page_parser(_fi_archive(
+        [("2021", [_fi_item("T1", "15.3.2021", "/d1")])]))
+    assert fi.kind == "listing"
+    assert fi.results == [("T1", "15.3.2021", "/d1")]
+    fid = finland_page_parser(_fi_doc("T1", "15.3.2021",
+                                      pdfs=["/a.pdf"]))
+    assert fid.kind == "detail"
+    assert fid.text.split("\n")[:2] == ["T1", "Released 2021-03-15"]
+    assert fid.out_links == ["/a.pdf"]
+
+    nl = netherlands_page_parser(_nl_listing(
+        [("B1", "3 oktober 2019", "/b1")], pager_hrefs=["/p2"]))
+    assert nl.kind == "listing"
+    assert nl.results == [("B1", "2019-10-03", "/b1")]
+    assert nl.out_links == ["/p2"]
+    nld = netherlands_page_parser(_nl_doc("B1", "3 oktober 2019"))
+    assert nld.kind == "detail"
+    assert nld.text.split("\n")[:2] == ["B1", "Released 2019-10-03"]
+
+    es = spain_page_parser(_es_listing(
+        [_es_row("R1", "2021-03-15T09:00:00Z", "/r1.pdf"),
+         _es_row("R2", "2021-03-15T09:00:00Z", "/r2.html")],
+        pager_hrefs=["?page=0", "?page=1"]))
+    assert es.kind == "listing"
+    assert es.results == [("R1", "2021-03-15", "/r1.pdf")]
+    assert es.out_links == ["?page=1"]
