@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_quality": A.doc_filter_query,
         "doc_chunk": A.doc_chunk_query,
         "doc_top_quality": A.doc_top_quality_query,
+        "doc_pack": A.doc_pack_query,
+        "doc_sample": A.doc_sample_query,
         # text analysis (M15-M23 + training-data ops)
         "doc_keywords": A.doc_keywords_query,
         "doc_enrich": A.doc_enrich_query,
@@ -287,6 +289,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_filter_quality": A.DOC_FILTER_SQL,
         "doc_chunk": A.DOC_CHUNK_SQL,
         "doc_top_quality": A.DOC_TOP_QUALITY_SQL,
+        "doc_pack": A.DOC_PACK_SQL,
+        "doc_sample": A.DOC_SAMPLE_SQL,
         "doc_stats": A.DOC_STATS_SQL,
         "doc_tokens": A.DOC_TOKENS_SQL,
         "doc_quality": A.DOC_QUALITY_SQL,

@@ -134,7 +134,8 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_embedding_lsh", "knn_cosine", "knn_lsh", "knn_ivf",
         "media_features", "crawl_reachable",
         # round-3 additions
-        "doc_chunk", "doc_top_quality", "stopwords_global_ss",
+        "doc_chunk", "doc_top_quality", "doc_pack", "doc_sample",
+        "stopwords_global_ss",
         "dedup_components", "events_hourly_hll",
     ]
     qs = E.queries()

@@ -1098,6 +1098,115 @@ def doc_top_quality_query(sf_dir: str, q: float = 0.75
     return scores.map_batches(keep, batch_format="pyarrow")
 
 
+PACK_BUDGET = 40
+
+DOC_PACK_SQL = f"""
+WITH RECURSIVE pieces AS (
+  SELECT doc_id,
+         CAST(unnest(range(len(arr))) AS BIGINT) AS piece_idx,
+         CAST(length(unnest(arr)) AS BIGINT) AS piece_len
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+        FROM documents)
+), s AS (
+  SELECT doc_id, piece_idx, piece_len,
+         CAST(0 AS BIGINT) AS seq_idx, piece_len AS fill
+  FROM pieces WHERE piece_idx = 0
+  UNION ALL
+  SELECT p.doc_id, p.piece_idx, p.piece_len,
+         CASE WHEN s.fill + p.piece_len > {PACK_BUDGET}
+              THEN s.seq_idx + 1 ELSE s.seq_idx END,
+         CASE WHEN s.fill + p.piece_len > {PACK_BUDGET}
+              THEN p.piece_len ELSE s.fill + p.piece_len END
+  FROM pieces p
+  JOIN s ON p.doc_id = s.doc_id AND p.piece_idx = s.piece_idx + 1
+)
+SELECT doc_id, piece_idx, piece_len, seq_idx FROM s
+"""
+
+
+def doc_pack_query(sf_dir: str, budget: int = PACK_BUDGET
+                   ) -> "ray.data.Dataset":
+    """Greedy sequence packing: split each document into word pieces
+    (literal ``' '`` split — byte-identical to DuckDB
+    ``string_split``) and first-fit them IN ORDER into sequences of
+    at most ``budget`` characters (an over-budget piece opens its own
+    sequence). The training-data "pack short samples into fixed
+    context windows" step, keyed ``(doc_id, piece_idx) → seq_idx``.
+
+    Packing is PER DOCUMENT by design: cross-document greedy packing
+    depends on global row order, which no parallel engine reproduces
+    deterministically — per-doc (or per-shard) packing is what scaled
+    pipelines actually do, and it makes the operator shuffle-free:
+    one flat-map-shaped ``map_batches``, chunks of a doc never leave
+    the task that read the doc. The greedy scan is O(pieces) integer
+    arithmetic per doc — hash-checked against a recursive-CTE oracle
+    that replays first-fit exactly."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        o_id: list = []
+        o_pidx: list = []
+        o_len: list = []
+        o_seq: list = []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            pieces = (t or "").split(" ")
+            seq = fill = 0
+            for i, p in enumerate(pieces):
+                ln = len(p)
+                if i and fill + ln > budget:
+                    seq += 1
+                    fill = ln
+                else:
+                    fill += ln
+                o_id.append(did)
+                o_pidx.append(i)
+                o_len.append(ln)
+                o_seq.append(seq)
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "piece_idx": pa.array(o_pidx, pa.int64()),
+            "piece_len": pa.array(o_len, pa.int64()),
+            "seq_idx": pa.array(o_seq, pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(pack, batch_format="pyarrow"))
+
+
+#: top-byte threshold of the md5-hex keep rule: '40'/256 = 25 %.
+SAMPLE_HEX_LT = "40"
+
+DOC_SAMPLE_SQL = f"""
+SELECT doc_id, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SAMPLE_HEX_LT}'
+"""
+
+
+def doc_sample_query(sf_dir: str, hex_lt: str = SAMPLE_HEX_LT
+                     ) -> "ray.data.Dataset":
+    """Deterministic Bernoulli sampling (O6 — the one §2 row the
+    reference lacks): keep a row iff the first md5 hex byte of its
+    key is below a threshold (``'40'`` = 25 %). Hash-derived
+    sampling, unlike ``Dataset.random_sample``, is REPRODUCIBLE
+    across runs, partitionings and engines — the property a training
+    pipeline needs so a re-run (or the SQL oracle) selects the same
+    rows. Shuffle-free: the predicate evaluates inside each block;
+    at 100 TB it is one streaming pass that never materializes the
+    rejected 75 %."""
+    import hashlib as _hl
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array([
+            _hl.md5(str(i).encode()).hexdigest()[:2] < hex_lt
+            for i in ids], pa.bool_())
+        return batch.filter(mask)
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "source"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
 # --------------------------------------------------------------------------
 # keyword top-k per doc (M16, unigram variant — SQL-checkable; the full
 # 1..3-gram extractor is functions/metadata.keywords_batch)

@@ -155,3 +155,37 @@ def test_exact_kth_value_random(ray_session):
     for q in (0.25, 0.5, 0.9):
         k = max(0, math.ceil(q * len(vals)) - 1)
         assert exact_quantile_disc(ds, "x", q) == srt[k], q
+
+
+def test_doc_pack_vs_oracle(ray_session, con):
+    """Greedy first-fit packing == the recursive-CTE replay, and the
+    per-sequence fill never exceeds the budget (except single
+    over-budget pieces, which open their own sequence)."""
+    from crawler_ray.pipelines.analytics import (DOC_PACK_SQL, PACK_BUDGET,
+                                                 doc_pack_query)
+    keys = ["doc_id", "piece_idx"]
+    r = (doc_pack_query(SF).to_pandas()
+         .sort_values(keys).reset_index(drop=True))
+    o = (con.execute(DOC_PACK_SQL).fetchdf()
+         .sort_values(keys).reset_index(drop=True))
+    pd.testing.assert_frame_equal(r, o[r.columns], check_exact=True)
+    fills = r.groupby(["doc_id", "seq_idx"]).agg(
+        fill=("piece_len", "sum"), n=("piece_len", "size"))
+    over = fills[fills["fill"] > PACK_BUDGET]
+    assert (over["n"] == 1).all()          # only lone oversized pieces
+    assert (r.groupby("doc_id")["seq_idx"].max() > 0).any()  # real packing
+
+
+def test_doc_sample_vs_oracle(ray_session, con):
+    """Hash-derived sampling is reproducible and engine-independent:
+    the Ray row set equals the SQL row set exactly, at roughly the
+    nominal 25 % rate."""
+    from crawler_ray.pipelines.analytics import (DOC_SAMPLE_SQL,
+                                                 doc_sample_query)
+    r = (doc_sample_query(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    o = (con.execute(DOC_SAMPLE_SQL).fetchdf()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(r, o, check_exact=True)
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0.15 <= len(r) / n_docs <= 0.35
