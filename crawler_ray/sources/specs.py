@@ -2,9 +2,20 @@
 
 The registry (``registry.py``) is the plugin surface; this module
 proves it carries the reference's actual listing structures by
-implementing nine of the hand-written scrapers as ``page_parser``
-callables over their real DOM shapes (plus the three below the
+implementing eleven of the hand-written scrapers as ``page_parser``
+callables over their real DOM shapes (plus the five below the
 original six):
+
+- **Ireland / DPC** (ireland:29-210): ordinal English dates
+  ("21st May 2021" → suffix stripped, ``%d %B %Y``), Drupal
+  ``nav.pager`` pagination with the don't-revisit-``page=0`` rule
+  and the FIXED host-relative join (ireland:60-95), and
+  ``div.field--name-body`` detail text.
+- **Greece / HDPA** (greece:64-210): two-hop listing → decision page
+  → ``span.file-link`` PDF; ``tbody > tr`` rows with ``<time>``
+  dd/mm/yyyy dates; next page = the ``li_list[-2]`` link of
+  ``ul.pagination.js-pager__items``, the visited-pages stop rule
+  subsumed by seen-dedup.
 
 - **Finland** (finland:50-160): year-bucketed single-page archive
   (``ul.results[id=year]`` → ``li.list__item``), ``%d.%m.%Y`` dates,
@@ -73,6 +84,7 @@ keep the byte-identical text invariant.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from crawler_ray.extract import ParsedPage, parse_page
@@ -82,10 +94,11 @@ __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "denmark_page_parser", "france_page_parser",
            "belgium_page_parser", "finland_page_parser",
            "netherlands_page_parser", "spain_page_parser",
-           "french_date_iso", "dutch_date_iso",
+           "ireland_page_parser", "greece_page_parser",
+           "french_date_iso", "dutch_date_iso", "english_date_iso",
            "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC", "DENMARK_SPEC",
            "FRANCE_SPEC", "FRANCE_API", "BELGIUM_SPEC", "FINLAND_SPEC",
-           "NETHERLANDS_SPEC", "SPAIN_SPEC",
+           "NETHERLANDS_SPEC", "SPAIN_SPEC", "IRELAND_SPEC", "GREECE_SPEC",
            "register_reference_specs"]
 
 
@@ -1120,6 +1133,365 @@ def spain_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+# --------------------------------------------------------------------------
+# Ireland: ordinal English dates + Drupal pager with the page-0 skip
+# --------------------------------------------------------------------------
+
+_EN_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["january", "february", "march", "april", "may", "june", "july",
+     "august", "september", "october", "november", "december"])}
+
+# ireland:150-156 — the reference regex is
+# r"(\d\d)(st|nd|rd|th) (\w*) (\d\d\d\d)"; the ordinal-suffix group is
+# sliced out of the string before strptime('%d %B %Y').
+_EN_ORDINAL = re.compile(
+    r"(\d{1,2})(?:st|nd|rd|th)?\s+([A-Za-z]+)\s+(\d{4})")
+
+
+def english_date_iso(s: str | None) -> str | None:
+    """First ``<day>[st|nd|rd|th] <Month> <year>`` in ``s`` → ISO.
+    Mirrors ireland:148-160: strip the ordinal suffix, resolve the
+    month by English name (``%B``)."""
+    m = _EN_ORDINAL.search(s or "")
+    if not m:
+        return None
+    mon = _EN_MONTHS.get(m.group(2).lower())
+    if mon is None:
+        return None
+    return f"{int(m.group(3)):04d}-{mon:02d}-{int(m.group(1)):02d}"
+
+
+class _IrelandListing(HTMLParser):
+    """dataprotection.ie news/blogs scanner (ireland:133-182): rows
+    are ``<article>`` elements under ``div.view-content`` (the News
+    variant nests them in ``div.item-list > ul > li``, the Blogs
+    variant in ``div.views-row`` — both shapes reduce to "articles
+    inside view-content"), each with ``p.date`` ordinal English date
+    and an ``h2 > a`` title/detail link. Pagination (ireland:40-95):
+    ``nav.pager`` → ``ul.pager__items`` → ``li`` links (hrefs like
+    ``?page=N`` resolved against the listing URL — the reference's
+    *fixed* join rule, ireland:60-95), with the don't-revisit
+    ``page=0`` skip (ireland:128-131)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        self._in_content = False
+        self._article_depth: int | None = None
+        self._in_date = self._in_h2 = self._in_h2_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_date: list[str] = []
+        self._in_pager_items = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "view-content" in cls:
+            self._in_content = True
+        elif tag == "article" and self._in_content \
+                and self._article_depth is None:
+            self._article_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._article_depth is not None:
+            if tag == "p" and "date" in cls:
+                self._in_date = True                  # ireland:147-149
+            elif tag == "h2":
+                self._in_h2 = True
+            elif tag == "a" and self._in_h2 and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # ireland:164-178
+                self._in_h2_a = True
+        if tag == "ul" and "pager__items" in cls:
+            self._in_pager_items = True
+        elif tag == "a" and self._in_pager_items:
+            href = _attr(attrs, "href")
+            # ireland:128-131 — the page_zero skip
+            if href and "page=0" not in href:
+                self.page_hrefs.append(href)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_h2_a = False
+        elif tag == "h2":
+            self._in_h2 = False
+        elif tag == "p":
+            self._in_date = False
+        elif tag == "ul":
+            self._in_pager_items = False
+        elif tag == "article" and self._article_depth == self._depth:
+            title = " ".join("".join(self._row_title).split())
+            iso = english_date_iso(
+                " ".join("".join(self._row_date).split())) or ""
+            if title and self._row_href:
+                self.results.append((title, iso, self._row_href))
+            self._article_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_h2_a:
+            self._row_title.append(data)
+        elif self._in_date and self._article_depth is not None:
+            self._row_date.append(data)
+
+
+class _IrelandDetail(HTMLParser):
+    """Article page scanner (ireland:190-205): the document body is
+    ``div.field--name-body``; the page's own ``h1`` heading and
+    ``p.date`` mirror the listing's title/date (the reference carries
+    them over from the listing row — a parallel crawl re-reads them
+    from the detail page so the document is self-describing)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.date_text: list[str] = []
+        self.body_lines: list[str] = []
+        self._depth = 0
+        self._in_h1 = self._in_date = False
+        self._body_depth: int | None = None
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif tag == "p" and "date" in cls:
+            self._in_date = True
+        elif tag == "div" and "field--name-body" in cls \
+                and self._body_depth is None:
+            self._body_depth = self._depth
+        elif self._body_depth is not None and tag in (
+                "h2", "h3", "p", "li", "div", "br"):
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag == "p":
+            self._in_date = False
+            self._flush()
+        elif tag in ("h2", "h3", "li"):
+            self._flush()
+        elif tag == "div":
+            if self._body_depth == self._depth:
+                self._flush()
+                self._body_depth = None
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._in_date and self._body_depth is None:
+            self.date_text.append(data)
+        elif self._body_depth is not None:
+            self._line.append(data)
+
+
+def ireland_page_parser(html: bytes | None) -> ParsedPage:
+    """DPC parser. Listing dates ("21st May 2021") normalize to ISO
+    at the listing so the engine's window filter reproduces the
+    reference's ``ShouldRetainDocumentSpecification`` row skip
+    (ireland:161-163) at discovery; detail pages emit their
+    ``field--name-body`` text as the document (ireland:197-205)."""
+    if html and b"view-content" in html and b"<article" in html:
+        p = _IrelandListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+    if html and b"field--name-body" in html:
+        p = _IrelandDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title and p.body_lines:
+            iso = english_date_iso(
+                " ".join("".join(p.date_text).split())) or ""
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n"
+                     + "\n".join(p.body_lines))
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Greece: two-hop listing → detail → PDF, dd/mm/yyyy <time> dates
+# --------------------------------------------------------------------------
+
+class _GreeceListing(HTMLParser):
+    """dpa.gr prakseisArxis table scanner (greece:84-116): result rows
+    are ``tbody > tr``, each carrying a ``<time>`` whose text is the
+    ``dd/mm/yyyy`` date (greece:93-97) and an ``<a>`` title/detail
+    link (greece:103-119). Pagination (greece:190-210): the
+    ``ul.pagination.js-pager__items`` nav's SECOND-TO-LAST ``li``
+    holds the next-page link (``li_list[-2]``); the reference's
+    visited-pages stop rule is subsumed by the engine's seen-dedup
+    (a next link pointing back at a fetched page never re-enters the
+    frontier)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.next_href: str | None = None
+        self._depth = 0
+        self._in_tbody = False
+        self._row_depth: int | None = None
+        self._in_time = self._in_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_date: list[str] = []
+        self._in_pager = False
+        self._li_hrefs: list[str | None] = []
+        self._li_open = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "tbody":
+            self._in_tbody = True
+        elif tag == "tr" and self._in_tbody and self._row_depth is None:
+            self._row_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._row_depth is not None:
+            if tag == "time":
+                self._in_time = True                   # greece:93-97
+            elif tag == "a" and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # greece:103-119
+                self._in_a = True
+        if tag == "ul" and "pagination" in cls and "js-pager__items" in cls:
+            self._in_pager = True
+        elif self._in_pager:
+            if tag == "li":
+                self._li_hrefs.append(None)
+                self._li_open = True
+            elif tag == "a" and self._li_open and self._li_hrefs \
+                    and self._li_hrefs[-1] is None:
+                self._li_hrefs[-1] = _attr(attrs, "href")
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "time":
+            self._in_time = False
+        elif tag == "li":
+            self._li_open = False
+        elif tag == "ul" and self._in_pager:
+            self._in_pager = False
+            # greece:196-201 — the second-to-last li is 'next'
+            if len(self._li_hrefs) >= 2:
+                self.next_href = self._li_hrefs[-2]
+        elif tag == "tr" and self._row_depth == self._depth:
+            title = " ".join("".join(self._row_title).split())
+            date = " ".join("".join(self._row_date).split())
+            if title and self._row_href:
+                self.results.append((title, date, self._row_href))
+            self._row_depth = None
+        elif tag == "tbody":
+            self._in_tbody = False
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_a:
+            self._row_title.append(data)
+        elif self._in_time:
+            self._row_date.append(data)
+
+
+class _GreeceDetail(HTMLParser):
+    """Decision page scanner (greece:135-147): the page's ``h1`` and
+    ``<time>`` mirror the listing row; the document payload is the
+    PDF behind ``span.file-link > a`` (greece:139-147); body
+    paragraphs (the page's summary text) are captured as lines."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.date_text: list[str] = []
+        self.pdf_links: list[str] = []
+        self.body_lines: list[str] = []
+        self._in_h1 = self._in_time = False
+        self._in_file_link = False
+        self._in_p = False
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif tag == "time":
+            self._in_time = True
+        elif tag == "span" and "file-link" in cls:
+            self._in_file_link = True
+        elif tag == "a" and self._in_file_link:
+            href = _attr(attrs, "href")                # greece:139-147
+            if href:
+                self.pdf_links.append(href)
+        elif tag == "p":
+            self._in_p = True
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag == "time":
+            self._in_time = False
+        elif tag == "span":
+            self._in_file_link = False
+        elif tag == "p":
+            self._in_p = False
+            line = " ".join("".join(self._line).split())
+            if line:
+                self.body_lines.append(line)
+            self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._in_time:
+            self.date_text.append(data)
+        elif self._in_p:
+            self._line.append(data)
+
+
+def greece_page_parser(html: bytes | None) -> ParsedPage:
+    """HDPA parser — the reference's TWO-HOP fetch (greece:122-176:
+    listing row → decision page → ``span.file-link`` PDF) becomes
+    listing results + detail out-links: the decision page emits its
+    own text/date as the document AND surfaces the PDF as a frontier
+    link (the Finland attachment pattern), fetched as binary by the
+    same politeness-governed stage and converted downstream. The
+    reference's ``year < 2018`` row skip (greece:99-102) is subsumed
+    by the engine's window filter via the listing's dd/mm/yyyy
+    dates."""
+    if html and b"<tbody" in html and b"<time" in html:
+        p = _GreeceListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.next_href:
+            return ParsedPage(kind="listing", results=p.results,
+                              next_href=p.next_href)
+    if html and b"file-link" in html:
+        p = _GreeceDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title:
+            from crawler_ray.functions.dates import parse_date_multi
+            d = parse_date_multi(" ".join("".join(p.date_text).split()))
+            iso = d.isoformat() if d else ""
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n"
+                     + "\n".join(p.body_lines),
+                out_links=p.pdf_links)
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -1235,6 +1607,36 @@ SPAIN_SPEC = SourceSpec(
 )
 
 
+IRELAND_SPEC = SourceSpec(
+    source_id="ireland-dpc",
+    hosts=("www.dataprotection.ie", "dataprotection.ie"),
+    seed_urls=(  # ireland:32-36, 68-70 — the get_docs_* sections
+        "https://www.dataprotection.ie/en/news-media/latest-news",
+        "https://www.dataprotection.ie/dpc-guidance/blogs",
+    ),
+    doc_types=("News", "Blogs"),
+    pagination="forward",
+    page_parser=ireland_page_parser,
+)
+
+GREECE_SPEC = SourceSpec(
+    source_id="greece-hdpa",
+    hosts=("www.dpa.gr", "dpa.gr"),
+    seed_urls=(  # greece:67, 216 — per-category prakseisArxis views
+        "https://www.dpa.gr/el/enimerwtiko/prakseisArxis"
+        "?field_year_from=2018&field_year_to=&field_category=239"
+        "&field_thematic=All&field_protocol_number=&field_keywords="
+        "&page=0",
+        "https://www.dpa.gr/el/enimerwtiko/prakseisArxis"
+        "?field_year_from=&field_year_to=&field_category=246"
+        "&field_thematic=All&field_protocol_number=&field_keywords=",
+    ),
+    doc_types=("Decisions", "Recommendations"),
+    pagination="forward",
+    page_parser=greece_page_parser,
+)
+
+
 def register_reference_specs() -> list[SourceSpec]:
     """Register the reference-parity specs (call before building the
     pipeline, or pass the returned specs via an explicit registry)."""
@@ -1242,4 +1644,5 @@ def register_reference_specs() -> list[SourceSpec]:
             register(EDPB_SPEC), register(DENMARK_SPEC),
             register(FRANCE_SPEC), register(BELGIUM_SPEC),
             register(FINLAND_SPEC), register(NETHERLANDS_SPEC),
-            register(SPAIN_SPEC)]
+            register(SPAIN_SPEC), register(IRELAND_SPEC),
+            register(GREECE_SPEC)]

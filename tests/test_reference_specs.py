@@ -818,3 +818,180 @@ def test_new_parsers_standalone():
     assert es.kind == "listing"
     assert es.results == [("R1", "2021-03-15", "/r1.pdf")]
     assert es.out_links == ["?page=1"]
+
+
+# --------------------------------------------------------------------------
+# Ireland: ordinal English dates + pager__items with the page=0 skip
+# --------------------------------------------------------------------------
+
+IE = "https://www.dataprotection.ie"
+
+
+def _ie_listing(rows, pager_hrefs=()):
+    lis = "".join(
+        f'<li><article><p class="date">Published: {date}</p>'
+        f'<h2><a href="{href}">{title}</a></h2></article></li>'
+        for title, date, href in rows)
+    pager = ""
+    if pager_hrefs:
+        pager = ('<nav class="pager"><ul class="pager__items">' + "".join(
+            f'<li class="pager__item"><a href="{h}">{i}</a></li>'
+            for i, h in enumerate(pager_hrefs)) + "</ul></nav>")
+    return ('<html><body><div class="view-content"><div class="item-list">'
+            f"<ul>{lis}</ul></div></div>{pager}</body></html>").encode()
+
+
+def _ie_doc(title, date, body="guidance body text"):
+    return (f'<html><body><h1>{title}</h1><p class="date">{date}</p>'
+            f'<div class="field--name-body"><p>{body}</p></div>'
+            "</body></html>").encode()
+
+
+def test_ireland_ordinal_dates_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the DPC structure: ordinal English dates
+    ('21st May 2021') normalize to ISO and window-filter at the
+    listing, the pager follows ?page=N links (page=0 skipped), and
+    field--name-body details become the documents."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import IRELAND_SPEC
+
+    news = f"{IE}/en/news-media/latest-news"
+    p1 = _ie_listing(
+        [("Guidance on CCTV", "21st May 2021", "/en/a"),
+         ("Old statement", "3rd January 2017", "/en/old")],
+        pager_hrefs=["?page=0", "?page=1"])
+    p2 = _ie_listing([("Blog on cookies", "2nd June 2020", "/en/b")])
+    pages = _pages_table([
+        (news, p1), (f"{news}?page=1", p2),
+        (f"{IE}/en/a", _ie_doc("Guidance on CCTV", "21st May 2021")),
+        (f"{IE}/en/b", _ie_doc("Blog on cookies", "2nd June 2020")),
+        (f"{IE}/en/old", _ie_doc("Old statement", "3rd January 2017")),
+    ])
+    out = str(tmp_path / "out")
+    summary = run_crawl(
+        _write(tmp_path, "pages.parquet", pages), _seeds(tmp_path, [news]),
+        _robots(tmp_path, ["www.dataprotection.ie"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: IRELAND_SPEC for h in IRELAND_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert fetched == {news, f"{news}?page=1", f"{IE}/en/a", f"{IE}/en/b"}
+    assert summary["urls_fetched"] == 4    # no /en/old, no ?page=0 decoy
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Guidance on CCTV", "Blog on cookies"}
+    assert str(docs.loc["Guidance on CCTV", "release_date"]) == "2021-05-21"
+
+
+# --------------------------------------------------------------------------
+# Greece: two-hop listing -> decision page -> span.file-link PDF
+# --------------------------------------------------------------------------
+
+GR = "https://www.dpa.gr"
+
+
+def _gr_listing(rows, li_hrefs=None):
+    trs = "".join(
+        f'<tr><td><time datetime="00Z">{date}</time></td>'
+        f'<td><a href="{href}">{title}</a></td></tr>'
+        for title, date, href in rows)
+    pag = ""
+    if li_hrefs is not None:
+        items = "".join(
+            ("<li>" + (f'<a href="{h}">x</a>' if h else "&#8230;") + "</li>")
+            for h in li_hrefs)
+        pag = f'<ul class="pagination js-pager__items">{items}</ul>'
+    return (f"<html><body><table><tbody>{trs}</tbody></table>{pag}"
+            "</body></html>").encode()
+
+
+def _gr_doc(title, date, pdf_href, body="Perilipsi apofasis"):
+    return (f'<html><body><h1>{title}</h1>'
+            f'<time datetime="00Z">{date}</time><p>{body}</p>'
+            f'<span class="file-link"><a href="{pdf_href}">PDF</a></span>'
+            "</body></html>").encode()
+
+
+def test_greece_two_hop_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the HDPA structure: table rows with
+    dd/mm/yyyy <time> dates window-filter at the listing, the
+    li_list[-2] 'next' link pages forward (the last page's next
+    points at itself and dies in seen-dedup), and each decision page
+    emits its text as the document while surfacing the file-link PDF
+    as a binary frontier fetch."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import GREECE_SPEC
+
+    base = f"{GR}/el/enimerwtiko/prakseisArxis"
+    p1 = _gr_listing(
+        [("Apofasi 26/2021", "16/06/2021", "/el/d26"),
+         ("Apofasi 1/2016", "05/02/2016", "/el/dold")],
+        li_hrefs=[None, "?page=1", "?page=1"])     # [prev, next, end]
+    p2 = _gr_listing(
+        [("Apofasi 11/2020", "03/04/2020", "/el/d11")],
+        li_hrefs=[None, "?page=1", "?page=1"])     # next == itself: stop
+    pages = _pages_table([
+        (f"{base}?page=0", p1), (f"{base}?page=1", p2),
+        (f"{GR}/el/d26", _gr_doc("Apofasi 26/2021", "16/06/2021",
+                                 "/files/26_2021.pdf")),
+        (f"{GR}/el/d11", _gr_doc("Apofasi 11/2020", "03/04/2020",
+                                 "/files/11_2020.pdf")),
+        (f"{GR}/el/dold", _gr_doc("Apofasi 1/2016", "05/02/2016",
+                                  "/files/old.pdf")),
+        (f"{GR}/files/26_2021.pdf", b"%PDF-1.4 stub"),
+        (f"{GR}/files/11_2020.pdf", b"%PDF-1.4 stub"),
+        (f"{GR}/files/old.pdf", b"%PDF-1.4 stub"),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{base}?page=0"]),
+        _robots(tmp_path, ["www.dpa.gr"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: GREECE_SPEC for h in GREECE_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert fetched == {
+        f"{base}?page=0", f"{base}?page=1",
+        f"{GR}/el/d26", f"{GR}/el/d11",
+        f"{GR}/files/26_2021.pdf", f"{GR}/files/11_2020.pdf",
+    }  # no dold / old.pdf (window filter at the listing)
+    assert log.set_index("url").loc[f"{GR}/files/26_2021.pdf", "kind"] \
+        == "binary"
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Apofasi 26/2021", "Apofasi 11/2020"}
+    assert str(docs.loc["Apofasi 26/2021", "release_date"]) == "2021-06-16"
+
+
+def test_ireland_greece_parsers_standalone():
+    """Unit: the two new DOM shapes -> ParsedPage without the engine."""
+    from crawler_ray.sources.specs import (english_date_iso,
+                                           greece_page_parser,
+                                           ireland_page_parser)
+
+    assert english_date_iso("21st May 2021") == "2021-05-21"
+    assert english_date_iso("Published: 2nd June 2020") == "2020-06-02"
+    assert english_date_iso("3 March 2019") == "2019-03-03"
+    assert english_date_iso("no date here") is None
+
+    ie = ireland_page_parser(_ie_listing(
+        [("T1", "21st May 2021", "/en/a")],
+        pager_hrefs=["?page=0", "?page=1"]))
+    assert ie.kind == "listing"
+    assert ie.results == [("T1", "2021-05-21", "/en/a")]
+    assert ie.out_links == ["?page=1"]        # ireland:128-131 page=0 skip
+    ied = ireland_page_parser(_ie_doc("T1", "21st May 2021"))
+    assert ied.kind == "detail"
+    assert ied.text.split("\n")[:2] == ["T1", "Released 2021-05-21"]
+
+    gr = greece_page_parser(_gr_listing(
+        [("A1", "16/06/2021", "/el/d1")],
+        li_hrefs=[None, "?page=1", "?page=2"]))
+    assert gr.kind == "listing"
+    assert gr.results == [("A1", "16/06/2021", "/el/d1")]
+    assert gr.next_href == "?page=1"          # greece:196-201 li_list[-2]
+    grd = greece_page_parser(_gr_doc("A1", "16/06/2021", "/f/a1.pdf"))
+    assert grd.kind == "detail"
+    assert grd.text.split("\n")[:2] == ["A1", "Released 2021-06-16"]
+    assert grd.out_links == ["/f/a1.pdf"]
