@@ -195,8 +195,12 @@ def rtf_to_text(payload: bytes) -> str:
 
 
 _PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+# content-stream tokens walked in order: font select (Tf) + the three
+# show-text forms — the Tf alternative keeps the active ToUnicode CMap
+# in sync with the strings it governs
 _PDF_TEXT_OP_RE = re.compile(
-    rb"\(((?:\\.|[^()\\])*)\)\s*Tj"
+    rb"/([^\s/<>\[\]()]+)\s+[\d.+-]+\s+Tf"
+    rb"|\(((?:\\.|[^()\\])*)\)\s*Tj"
     rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
     rb"|\[((?:\\.|[^\]\\])*?)\]\s*TJ", re.DOTALL)
 # string elements inside a TJ array: literal OR hex form
@@ -205,36 +209,162 @@ _PDF_ESC_RE = re.compile(rb"\\(n|r|t|b|f|\(|\)|\\|[0-7]{1,3})")
 _PDF_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08",
             b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
 
+# object graph + ToUnicode CMap syntax (PDF 32000-1 §9.10.3 / Adobe
+# CMap spec): enough to resolve  page resources /Font << /F1 N 0 R >>
+# → font obj /ToUnicode M 0 R → CMap stream bfchar/bfrange sections
+_PDF_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
+_PDF_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_PDF_NAMEREF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_PDF_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_CMAP_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_CMAP_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CMAP_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_CMAP_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])", re.DOTALL)
+_CMAP_DST_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
-def _pdf_unescape(raw: bytes) -> str:
+
+def _pdf_unescape_bytes(raw: bytes) -> bytes:
     def sub(m):
         g = m.group(1)
         return _PDF_ESC.get(g) or bytes([int(g, 8) & 0xFF])
-    return _PDF_ESC_RE.sub(sub, raw).decode("latin-1")
+    return _PDF_ESC_RE.sub(sub, raw)
 
 
-def _pdf_unhex(raw: bytes) -> str:
-    """Decode a PDF hex string ``<48656c6c6f>`` (the common show-text
-    operand of font-subset PDFs; ``pdf_to_text_service.py:63-88``
-    parity via pdfminer). Whitespace is ignored, an odd final digit is
-    zero-padded (PDF 32000-1 §7.3.4.3); bytes decode as latin-1 — a
-    ToUnicode-CMap remap for 2-byte CIDs is a documented non-goal."""
+def _pdf_unescape(raw: bytes) -> str:
+    return _pdf_unescape_bytes(raw).decode("latin-1")
+
+
+def _pdf_unhex_bytes(raw: bytes) -> bytes:
+    """PDF hex string ``<48656c6c6f>`` → bytes. Whitespace is ignored,
+    an odd final digit is zero-padded (PDF 32000-1 §7.3.4.3)."""
     h = b"".join(raw.split())
     if len(h) % 2:
         h += b"0"
     try:
-        return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+        return bytes.fromhex(h.decode("ascii"))
     except ValueError:
-        return ""
+        return b""
+
+
+def _pdf_unhex(raw: bytes) -> str:
+    """Decode a PDF hex string (the common show-text operand of
+    font-subset PDFs; ``pdf_to_text_service.py:63-88`` parity via
+    pdfminer). Bytes decode as latin-1 when no ToUnicode CMap governs
+    the string (see :func:`_pdf_apply_cmap` for the CID remap)."""
+    return _pdf_unhex_bytes(raw).decode("latin-1")
+
+
+def _cmap_utf16(h: bytes) -> str:
+    """A CMap dst hex token → text (UTF-16BE per the spec; a 1-byte
+    dst — seen in Type1 subsets — is a direct char code)."""
+    if len(h) % 2:
+        h += b"0"
+    b = bytes.fromhex(h.decode("ascii"))
+    if len(b) % 2:
+        return b.decode("latin-1")
+    return b.decode("utf-16-be", "surrogatepass")
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]] | None:
+    """Parse a ToUnicode CMap stream into (code byte-width,
+    code → unicode). Handles ``bfchar`` pairs and both ``bfrange``
+    forms (incrementing dst and explicit dst array)."""
+    codes: dict[int, str] = {}
+    width = 0
+    for m in _CMAP_BFCHAR_RE.finditer(data):
+        for pm in _CMAP_PAIR_RE.finditer(m.group(1)):
+            src, dst = pm.groups()
+            width = max(width, len(src) // 2)
+            codes[int(src, 16)] = _cmap_utf16(dst)
+    for m in _CMAP_BFRANGE_RE.finditer(data):
+        for rm in _CMAP_RANGE_RE.finditer(m.group(1)):
+            lo, hi, dst, arr = rm.groups()
+            width = max(width, len(lo) // 2)
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i < lo_i or hi_i - lo_i > 0xFFFF:   # malformed guard
+                continue
+            if dst is not None:
+                base, dlen = int(dst, 16), len(dst)
+                for i in range(hi_i - lo_i + 1):
+                    codes[lo_i + i] = _cmap_utf16(
+                        ("%0*X" % (dlen, base + i)).encode("ascii"))
+            elif arr is not None:
+                for i, dm in enumerate(_CMAP_DST_RE.finditer(arr)):
+                    if lo_i + i > hi_i:
+                        break
+                    codes[lo_i + i] = _cmap_utf16(dm.group(1))
+    return (max(width, 1), codes) if codes else None
+
+
+def _pdf_font_cmaps(payload: bytes) -> dict[bytes, tuple[int, dict]]:
+    """Resource font name (``F1``) → parsed ToUnicode CMap, resolved
+    through the object graph: every ``/Font << /Fx N 0 R >>`` resource
+    dict, each font object's ``/ToUnicode M 0 R``, the CMap stream in
+    object M (raw or FlateDecode). Fonts without ToUnicode simply
+    don't appear (their strings keep the latin-1 fallback)."""
+    objs: dict[int, bytes] = {
+        int(om.group(1)): om.group(2)
+        for om in _PDF_OBJ_RE.finditer(payload)}
+    cmap_by_obj: dict[int, tuple[int, dict] | None] = {}
+
+    def cmap_of(font_obj: int):
+        if font_obj in cmap_by_obj:
+            return cmap_by_obj[font_obj]
+        out = None
+        body = objs.get(font_obj, b"")
+        tu = _PDF_TOUNI_RE.search(body)
+        if tu:
+            sm = _PDF_STREAM_RE.search(objs.get(int(tu.group(1)), b""))
+            if sm:
+                data = sm.group(1)
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    pass
+                out = _parse_tounicode(data)
+        cmap_by_obj[font_obj] = out
+        return out
+
+    by_name: dict[bytes, tuple[int, dict]] = {}
+    for body in objs.values():
+        for fm in _PDF_FONTDICT_RE.finditer(body):
+            for nm in _PDF_NAMEREF_RE.finditer(fm.group(1)):
+                cm = cmap_of(int(nm.group(2)))
+                if cm is not None:
+                    by_name.setdefault(nm.group(1), cm)
+    return by_name
+
+
+def _pdf_apply_cmap(bs: bytes, cmap: tuple[int, dict] | None) -> str:
+    """String bytes → text under the active font's ToUnicode CMap
+    (codes of the CMap's byte-width looked up individually). When no
+    CMap governs the string, or most codes miss (a string shown in a
+    different font than the tracked one), fall back to latin-1 — the
+    pre-CMap behavior."""
+    if cmap is None or not bs:
+        return bs.decode("latin-1")
+    width, codes = cmap
+    n = len(bs) - len(bs) % width
+    toks = [codes.get(int.from_bytes(bs[i:i + width], "big"))
+            for i in range(0, n, width)]
+    misses = sum(t is None for t in toks)
+    if 2 * misses > max(1, len(toks)):
+        return bs.decode("latin-1")
+    return "".join(t for t in toks if t is not None)
 
 
 def pdf_to_text_min(payload: bytes) -> str:
     """M8 minimal path (vs ``services/pdf_to_text_service.py:63-88``):
     walk content streams (raw or FlateDecode), emit the string
     operands of ``Tj``/``TJ`` show-text operators in stream order —
-    both ``(literal)`` and ``<hex>`` forms, the latter the common
-    encoding of font-subset PDFs — one line per operator. Returns ""
-    when no text operator is found (caller falls back / flags)."""
+    both ``(literal)`` and ``<hex>`` forms — one line per operator.
+    ``Tf`` font selects are tracked so strings shown in a CID font
+    with a ToUnicode CMap (the standard font-subset layout) decode
+    through the CMap instead of as latin-1 garbage. Returns "" when
+    no text operator is found (caller falls back / flags)."""
+    cmaps = _pdf_font_cmaps(payload) if b"/ToUnicode" in payload else {}
     lines: list[str] = []
     for m in _PDF_STREAM_RE.finditer(payload):
         data = m.group(1)
@@ -244,16 +374,22 @@ def pdf_to_text_min(payload: bytes) -> str:
             pass
         if b"Tj" not in data and b"TJ" not in data:
             continue
+        cur: tuple[int, dict] | None = None
         for tm in _PDF_TEXT_OP_RE.finditer(data):
-            if tm.group(1) is not None:          # (literal) Tj
-                lines.append(_pdf_unescape(tm.group(1)))
-            elif tm.group(2) is not None:        # <hex> Tj
-                lines.append(_pdf_unhex(tm.group(2)))
+            if tm.group(1) is not None:          # /Fx size Tf
+                cur = cmaps.get(tm.group(1))
+            elif tm.group(2) is not None:        # (literal) Tj
+                lines.append(_pdf_apply_cmap(
+                    _pdf_unescape_bytes(tm.group(2)), cur))
+            elif tm.group(3) is not None:        # <hex> Tj
+                lines.append(_pdf_apply_cmap(
+                    _pdf_unhex_bytes(tm.group(3)), cur))
             else:                                # [...] TJ
                 lines.append("".join(
-                    _pdf_unescape(x.group(1)) if x.group(1) is not None
-                    else _pdf_unhex(x.group(2))
-                    for x in _PDF_STR_EL_RE.finditer(tm.group(3))))
+                    _pdf_apply_cmap(_pdf_unescape_bytes(x.group(1)), cur)
+                    if x.group(1) is not None
+                    else _pdf_apply_cmap(_pdf_unhex_bytes(x.group(2)), cur)
+                    for x in _PDF_STR_EL_RE.finditer(tm.group(4))))
     return "\n".join(ln for ln in lines if ln.strip())
 
 

@@ -215,6 +215,48 @@ def test_pdf_hex_string_extraction():
     assert "Sanction 2021" in out["text"][0].as_py()
 
 
+def test_pdf_tounicode_cmap_extraction():
+    """CID font-subset PDFs (the standard layout real DPA decisions
+    ship in): 2-byte codes shown under a font whose ToUnicode CMap
+    must be resolved through the object graph (resources /Font →
+    font obj /ToUnicode → CMap stream) — bfchar, both bfrange forms,
+    Tf font switching, and the latin-1 fallback for fonts without a
+    CMap / strings whose codes miss the map."""
+    import zlib
+
+    from crawler_ray.stages.convert import pdf_to_text_min
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"4 beginbfchar\n"
+            b"<0001> <0047>\n"          # G
+            b"<0002> <0044>\n"          # D
+            b"<0003> <0050>\n"          # P
+            b"<0004> <0052>\n"          # R
+            b"endbfchar\n"
+            b"2 beginbfrange\n"
+            b"<0010> <0012> <0041>\n"   # A B C (incrementing dst)
+            b"<0020> <0021> [<00E9> <20AC>]\n"  # e-acute, euro (array)
+            b"endbfrange\n"
+            b"endcmap\nend\n")
+    content = (b"BT /F1 12 Tf <0001000200030004> Tj "
+               b"[<001000110012>] TJ <00200021> Tj "
+               b"/F2 10 Tf (plain latin) Tj "
+               b"/F1 12 Tf <7a7a7a7a> Tj ET")   # codes miss -> latin-1
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Page /Resources << /Font << /F1 3 0 R "
+           b"/F2 9 0 R >> >> /Contents 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+           + zlib.compress(content) + b"\nendstream\nendobj\n"
+           b"3 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 4 0 R "
+           b">>\nendobj\n"
+           b"4 0 obj\n<< /Length 999 >>\nstream\n"
+           + cmap + b"\nendstream\nendobj\n"
+           b"9 0 obj\n<< /Type /Font /Subtype /Type1 >>\nendobj\n"
+           b"%%EOF")
+    assert pdf_to_text_min(pdf) == \
+        "GDPR\nABC\né€\nplain latin\nzzzz"
+
+
 def test_ocr_injection_routing():
     """M9 routing rule (``pdf_to_text_service.py:84-88`` semantics):
     a PDF with NO extractable text stream routes to the injected
