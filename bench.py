@@ -37,6 +37,17 @@ import time
 BENCH_ROOT = "/tmp/crawler_ray_bench"
 N_SHARDS = 8
 
+
+def _n_shards(cpus: int) -> int:
+    """Crawl-state shard count scales with the CPU budget — the
+    real-cluster rule (a shard set per node / few cores). A fixed
+    count caps every actor-side phase (page-store fetch, seen
+    offer/commit, frontier pop, checkpoint restore) at that
+    parallelism no matter how many CPUs the cluster has; measured on
+    the scale4 drain at 16 CPUs, 8 fixed shards held setup at 13.5 s
+    (8-way load) and commit_wait at 5.8 s."""
+    return max(4, cpus)
+
 CRAWL_TIERS = {
     # tier -> (politeness round_ms, cap): permissive budgets so the
     # bench measures engine throughput, not the (logical) politeness
@@ -58,7 +69,7 @@ CRAWL_TIERS = {
 }
 
 
-def _ensure_fixture(tier: str) -> str:
+def _ensure_fixture(tier: str, n_shards: int = N_SHARDS) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
     from crawler_ray.fixtures import write_fixture
@@ -66,7 +77,7 @@ def _ensure_fixture(tier: str) -> str:
     fix = os.path.join(BENCH_ROOT, tier)
     write_fixture(fix, tier)
     prepare_sharded_pages(os.path.join(fix, "pages.parquet"),
-                          os.path.join(fix, f"sharded_{N_SHARDS}"), N_SHARDS)
+                          os.path.join(fix, f"sharded_{n_shards}"), n_shards)
     wide = os.path.join(fix, "seeds_wide.parquet")
     if tier.startswith("scale") and not os.path.exists(wide):
         # drain-bench seed list = every page URL (a mid-crawl
@@ -84,20 +95,21 @@ def _ensure_fixture(tier: str) -> str:
     return fix
 
 
-def _crawl(tier: str, out_tag: str, wide_seeds: bool = False) -> dict:
+def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
+           n_shards: int = N_SHARDS) -> dict:
     from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
-    fix = _ensure_fixture(tier)
+    fix = _ensure_fixture(tier, n_shards)
     out = os.path.join(BENCH_ROOT, f"out_{out_tag}")
     shutil.rmtree(out, ignore_errors=True)
-    cfg = CrawlConfig(n_frontier_shards=N_SHARDS, n_seen_shards=N_SHARDS,
-                      n_page_shards=N_SHARDS, **CRAWL_TIERS[tier])
-    pages = os.path.join(fix, f"sharded_{N_SHARDS}")
+    cfg = CrawlConfig(n_frontier_shards=n_shards, n_seen_shards=n_shards,
+                      n_page_shards=n_shards, **CRAWL_TIERS[tier])
+    pages = os.path.join(fix, f"sharded_{n_shards}")
     robots = os.path.join(fix, "robots.parquet")
     if wide_seeds:
         # drain bench: time the crawl from a seeded epoch-0 checkpoint
         # (seed ingest is one-time state prep, identical at every
         # parallelism level — resume restores it in parallel)
-        seeded = os.path.join(fix, f"seeded_{N_SHARDS}")
+        seeded = os.path.join(fix, f"seeded_{n_shards}")
         if not os.path.exists(os.path.join(seeded, "checkpoints")):
             run_crawl(pages, os.path.join(fix, "seeds_wide.parquet"),
                       robots, seeded, cfg, seed_only=True)
@@ -188,6 +200,8 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--levels", default="8,32",
                     help="comma pair of CPU counts for --scaling (N,4N)")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="override the CPU-derived crawl shard count")
     ap.add_argument("--scale-tier", default="scale",
                     help="drain fixture for --scaling: scale (1.5M pages,"
                          " ~20 s window) or scale4 (4.5M, >=60 s window)")
@@ -250,10 +264,12 @@ def main() -> None:
     crawler_ray.suppress_empty_schema_divergence_warning()
 
     if args.crawl_only:
-        _ensure_fixture(args.tier)
+        ns = args.shards or _n_shards(cpus)
+        _ensure_fixture(args.tier, ns)
         _warmup()
         trials = [_crawl(args.tier, f"crawl_{cpus}_{t}",
-                         wide_seeds=args.tier.startswith("scale"))
+                         wide_seeds=args.tier.startswith("scale"),
+                         n_shards=ns)
                   for t in range(args.trials)]
         # median trial (VM timing noise is ±15%)
         trials.sort(key=lambda c: c["sec"])
@@ -270,9 +286,10 @@ def main() -> None:
         sf = None
 
     t_total = time.time()
-    _ensure_fixture("bench")
+    ns = _n_shards(cpus)
+    _ensure_fixture("bench", ns)
     _warmup()
-    crawl = _crawl("bench", f"crawl_{cpus}")
+    crawl = _crawl("bench", f"crawl_{cpus}", n_shards=ns)
     queries = run_queries(sf_dir)
     recall = knn_recall(sf_dir)
     recall_ivf = knn_recall(sf_dir, "knn_ivf")

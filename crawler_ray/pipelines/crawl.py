@@ -171,8 +171,11 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
     if render_hosts:
         sliced = _render_rows(sliced, render_hosts,
                               ctx["render_actors"], start)
+    t0 = time.perf_counter()
     parsed = ParseStage(ctx["now"], registry=ctx["registry"])(sliced)
+    t1 = time.perf_counter()
     pq.write_table(parsed, part_path)
+    t2 = time.perf_counter()
     cands = _explode_links(parsed)
     if max_depth is not None:
         cands = cands.filter(pc.less_equal(cands["depth"], max_depth))
@@ -186,7 +189,10 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
                 acks.append(seen_shards[s].offer.remote(
                     pack(cands.filter(pa.array(mask))), wave))
         ray.get(acks)
-    return parsed.num_rows
+    t3 = time.perf_counter()
+    # CPU-second shares per section (summed by retire_one under
+    # CRAWLER_RAY_PHASE_TIMING) — the retire_wait decomposition
+    return parsed.num_rows, t1 - t0, t2 - t1, t3 - t2
 
 
 def _load_seeds(path: str) -> pa.Table:
@@ -420,8 +426,13 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     def retire_one() -> None:
         j, refs, tmp_wave, wave_dir = inflight.popleft()
         t0 = time.perf_counter()
-        ray.get(refs)                  # tasks done ⇒ wave-j offers landed
+        vals = ray.get(refs)           # tasks done ⇒ wave-j offers landed
         phase["retire_wait"] += time.perf_counter() - t0
+        if _timing:                    # CPU-second task-section sums
+            for _, tp, tw, to in vals:
+                phase["task_parse_cpu_s"] += tp
+                phase["task_write_cpu_s"] += tw
+                phase["task_offer_cpu_s"] += to
         os.rename(tmp_wave, wave_dir)
         commits[j] = [s.commit_wave.remote(j, j + P) for s in seen_shards]
 
