@@ -56,6 +56,13 @@ class ParsedPage:
     results: list = field(default_factory=list)   # (title, date_str, href)
     next_href: str | None = None
     out_links: list = field(default_factory=list)
+    #: optional extra doc-key component for sources whose dedup key is
+    #: richer than (md5(title), date) — the UK ICO enforcement pages
+    #: key on md5(title) + notice type + date
+    #: (united_kingdom:386-390, ``hashcode_with_type``); a detail
+    #: parser sets this and the parse stage splices it into
+    #: ``doc_key`` between hash and date.
+    key_extra: str | None = None
 
 
 class _Extractor(HTMLParser):

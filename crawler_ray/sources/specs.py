@@ -2,9 +2,21 @@
 
 The registry (``registry.py``) is the plugin surface; this module
 proves it carries the reference's actual listing structures by
-implementing eleven of the hand-written scrapers as ``page_parser``
-callables over their real DOM shapes (plus the five below the
-original six):
+implementing the hand-written scrapers as ``page_parser`` callables
+over their real DOM shapes:
+
+- **United Kingdom / ICO** (united_kingdom:33-522): ``div.resultlist
+  > div.itemlink`` rows with ``"date, type"`` ``p.text-small`` meta;
+  the icosearch Notices variant's direct-PDF ``title`` attribute;
+  next-button pagination; the hash+noticeType+date composite dedup
+  key carried through ``ParsedPage.key_extra``.
+- **Sweden / IMY** (sweden:31-260): the speculative ``?query=&page=N``
+  enumeration realized as an incremental walk with the empty-page
+  stop rule; ``Beslut``-gated hit bodies whose LAST token is the
+  date; in-body ``.pdf`` attachment links.
+- **Portugal / CNPD** (portugal:26-150): ``div.c-pagination``
+  enumerated pager, ``div.c-card`` rows linking STRAIGHT to PDFs,
+  the title-suffix year gate (year < 2018 skipped at the listing).
 
 - **Ireland / DPC** (ireland:29-210): ordinal English dates
   ("21st May 2021" → suffix stripped, ``%d %B %Y``), Drupal
@@ -95,10 +107,13 @@ __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "belgium_page_parser", "finland_page_parser",
            "netherlands_page_parser", "spain_page_parser",
            "ireland_page_parser", "greece_page_parser",
+           "uk_page_parser", "sweden_page_parser", "portugal_page_parser",
            "french_date_iso", "dutch_date_iso", "english_date_iso",
+           "swedish_date_iso",
            "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC", "DENMARK_SPEC",
            "FRANCE_SPEC", "FRANCE_API", "BELGIUM_SPEC", "FINLAND_SPEC",
            "NETHERLANDS_SPEC", "SPAIN_SPEC", "IRELAND_SPEC", "GREECE_SPEC",
+           "UK_SPEC", "SWEDEN_SPEC", "PORTUGAL_SPEC",
            "register_reference_specs"]
 
 
@@ -1492,6 +1507,502 @@ def greece_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+# --------------------------------------------------------------------------
+# United Kingdom / ICO: itemlink rows, "date, type" meta, next button
+# --------------------------------------------------------------------------
+
+class _UkListing(HTMLParser):
+    """ico.org.uk resultlist scanner (united_kingdom:96-139 Notices,
+    :213-253 Reports, :358-399 Enforcements): rows are
+    ``div.resultlist > div.itemlink``, each holding an ``<a>`` with an
+    ``h2.h3`` title inside and a ``p.text-small`` whose text is
+    ``"<date>, <notice type>"`` — date before the first comma
+    (uk:107,222,367), type after it (uk:368). The icosearch Notices
+    variant carries the DIRECT PDF url in the link's ``title``
+    attribute and skips non-pdf values (uk:133-139); the others link
+    to article detail pages via ``href``. Pagination (uk:44-57): the
+    ``nav.article-navigation`` next button ``a.button.button-top``."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.next_href: str | None = None
+        self._depth = 0
+        self._in_resultlist = False
+        self._item_depth: int | None = None
+        self._in_h2 = self._in_a = self._in_small = False
+        self._row_href: str | None = None
+        self._row_pdf: str | None = None
+        self._row_title: list[str] = []
+        self._row_meta: list[str] = []
+        self._in_nav = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "resultlist" in cls:
+            self._in_resultlist = True
+        elif tag == "div" and "itemlink" in cls and self._in_resultlist \
+                and self._item_depth is None:
+            self._item_depth = self._depth
+            self._row_href = self._row_pdf = None
+            self._row_title, self._row_meta = [], []
+        elif self._item_depth is not None:
+            if tag == "a" and self._row_href is None:
+                self._row_href = _attr(attrs, "href")     # uk:249,396
+                self._row_pdf = _attr(attrs, "title")     # uk:133
+                self._in_a = True
+            elif tag == "h2" and "h3" in cls:
+                self._in_h2 = True                        # uk:121-123
+            elif tag == "p" and "text-small" in cls:
+                self._in_small = True                     # uk:105-107
+        if tag == "nav" and "article-navigation" in cls:
+            self._in_nav = True                           # uk:50
+        elif tag == "a" and self._in_nav and "button" in cls \
+                and "button-top" in cls and self.next_href is None:
+            self.next_href = _attr(attrs, "href")         # uk:53-57
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "h2":
+            self._in_h2 = False
+        elif tag == "p":
+            self._in_small = False
+        elif tag == "nav":
+            self._in_nav = False
+        elif tag == "div" and self._item_depth == self._depth:
+            title = " ".join("".join(self._row_title).split())
+            meta = " ".join("".join(self._row_meta).split())
+            iso = english_date_iso(meta.split(",")[0]) or ""
+            if self._row_pdf and self._row_pdf.endswith(".pdf"):
+                # Notices: the title attr IS the document url (uk:133)
+                href = self._row_pdf
+            elif self._row_pdf is not None and "://" in self._row_pdf:
+                href = None            # uk:135-137 — non-pdf Notice skipped
+            else:
+                href = self._row_href
+            if title and href:
+                self.results.append((title, iso, href))
+            self._item_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_h2 and self._in_a:
+            self._row_title.append(data)
+        elif self._in_small and self._item_depth is not None:
+            self._row_meta.append(data)
+
+
+class _UkDetail(HTMLParser):
+    """ICO article scanner (uk:278-322): body text is the
+    concatenation of every ``div.article-content`` (uk:281-287);
+    attached files live in ``aside.aside-further`` ``li > a`` hrefs
+    (uk:289-299) and are surfaced as frontier out-links (the
+    reference downloads them inline; the engine fetches them through
+    the same politeness-governed stage). The page's ``h1`` and
+    ``p.text-small`` ("date, type") mirror the listing row — the type
+    becomes the doc-key middle component (uk:386-390)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.meta: list[str] = []
+        self.body_lines: list[str] = []
+        self.file_hrefs: list[str] = []
+        self._depth = 0
+        self._in_h1 = self._in_small = False
+        self._content_depth: int | None = None
+        self._in_aside = self._in_aside_li = False
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif tag == "p" and "text-small" in cls:
+            self._in_small = True
+        elif tag == "div" and "article-content" in cls \
+                and self._content_depth is None:
+            self._content_depth = self._depth             # uk:281
+        elif self._content_depth is not None and tag in (
+                "h2", "h3", "p", "li", "div", "br"):
+            self._flush()
+        if tag == "aside" and "aside-further" in cls:
+            self._in_aside = True                         # uk:289
+        elif tag == "li" and self._in_aside:
+            self._in_aside_li = True
+        elif tag == "a" and self._in_aside_li:
+            href = _attr(attrs, "href")                   # uk:295
+            if href:
+                self.file_hrefs.append(href)
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag == "p":
+            self._in_small = False
+            self._flush()
+        elif tag in ("h2", "h3", "li"):
+            self._flush()
+            if tag == "li":
+                self._in_aside_li = False
+        elif tag == "aside":
+            self._in_aside = False
+        elif tag == "div" and self._content_depth == self._depth:
+            self._flush()
+            self._content_depth = None
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._in_small and self._content_depth is None:
+            self.meta.append(data)
+        elif self._content_depth is not None:
+            self._line.append(data)
+
+
+def uk_page_parser(html: bytes | None) -> ParsedPage:
+    """ICO parser. Listing dates normalize to ISO so the engine's
+    window filter reproduces ``ShouldRetainDocumentSpecification``
+    (uk:118-119) at discovery; article pages emit their
+    ``article-content`` text as the document and the notice type from
+    ``p.text-small`` as ``key_extra``, reproducing the reference's
+    hash+type+date dedup key (uk:386-390) through the engine's
+    composite ``doc_key``."""
+    if html and b"resultlist" in html and b"itemlink" in html:
+        p = _UkListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.next_href:
+            return ParsedPage(kind="listing", results=p.results,
+                              next_href=p.next_href)
+    if html and b"article-content" in html:
+        p = _UkDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title and p.body_lines:
+            meta = " ".join("".join(p.meta).split())
+            parts = meta.split(",")
+            iso = english_date_iso(parts[0]) or ""
+            ntype = parts[1].strip() if len(parts) > 1 else ""
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n" + "\n".join(p.body_lines),
+                out_links=p.file_hrefs,
+                key_extra=ntype.replace(" ", "_") or None)
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Sweden / IMY: incremental ?page=N walk with the empty-page stop rule
+# --------------------------------------------------------------------------
+
+_SV_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["januari", "februari", "mars", "april", "maj", "juni", "juli",
+     "augusti", "september", "oktober", "november", "december"])}
+
+
+def swedish_date_iso(s: str | None) -> str | None:
+    """IMY hit dates → ISO (sweden:107-112): the date is the LAST
+    whitespace token of the hit body — usually ISO ``yyyy-mm-dd``, a
+    bare ``yyyy`` year (reference appends ``-01-01``), or a Swedish
+    textual ``d månad yyyy``."""
+    s = (s or "").strip()
+    if not s:
+        return None
+    # full textual date first (more specific than the last token)
+    m = re.search(r"(\d{1,2})\s+([a-zåäö]+)\s+(\d{4})\s*$", s.lower())
+    if m and m.group(2) in _SV_MONTHS:
+        return (f"{int(m.group(3)):04d}-{_SV_MONTHS[m.group(2)]:02d}-"
+                f"{int(m.group(1)):02d}")
+    tok = s.split()[-1]
+    if re.fullmatch(r"\d{4}", tok):
+        return f"{tok}-01-01"                      # sweden:110-111
+    if re.fullmatch(r"\d{4}-\d{1,2}-\d{1,2}", tok):
+        y, m2, d = tok.split("-")
+        return f"{int(y):04d}-{int(m2):02d}-{int(d):02d}"
+    return None
+
+
+class _SwedenListing(HTMLParser):
+    """imy.se search-results scanner (sweden:84-124 tillsyner,
+    :208-240 publikationer): rows are ``li.imy-search__results-item``
+    under ``ul.imy-search__results-list`` (the publications view names
+    its list ``#imy-search__results-list-initial``), each with an
+    ``h2.imy-search-hit__heading`` title, a first ``<a>`` detail link,
+    and either a ``p.imy-search-hit__body`` summary whose text must
+    contain ``Beslut`` (ongoing cases are skipped, sweden:100-106)
+    with the decision date as its last token, or a
+    ``time.imy-search-hit__detail-text`` created date
+    (sweden:216-222). The page echoes its search form; the current
+    ``page`` input value drives the incremental ``?query=&page=N+1``
+    walk (see :func:`sweden_page_parser`)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.has_list = False
+        self.page_no: int | None = None
+        self._depth = 0
+        self._in_list = False
+        self._item_depth: int | None = None
+        self._in_h2 = self._in_body = self._in_time = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_body: list[str] = []
+        self._row_time: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        ident = _attr(attrs, "id") or ""
+        if tag == "ul" and ("imy-search__results-list" in cls
+                            or ident.startswith("imy-search__results-list")):
+            self._in_list = self.has_list = True
+        elif tag == "li" and "imy-search__results-item" in cls \
+                and self._in_list and self._item_depth is None:
+            self._item_depth = self._depth
+            self._row_href = None
+            self._row_title, self._row_body, self._row_time = [], [], []
+        elif self._item_depth is not None:
+            if tag == "h2" and "imy-search-hit__heading" in cls:
+                self._in_h2 = True                        # sweden:92
+            elif tag == "p" and "imy-search-hit__body" in cls:
+                self._in_body = True                      # sweden:99
+            elif tag == "time" and "imy-search-hit__detail-text" in cls:
+                self._in_time = True                      # sweden:216
+            elif tag == "a" and self._row_href is None:
+                self._row_href = _attr(attrs, "href")     # sweden:122-125
+        if tag == "input" and _attr(attrs, "name") == "page":
+            v = _attr(attrs, "value")
+            if v and v.isdigit():
+                self.page_no = int(v)
+
+    def handle_endtag(self, tag):
+        if tag == "h2":
+            self._in_h2 = False
+        elif tag == "p":
+            self._in_body = False
+        elif tag == "time":
+            self._in_time = False
+        elif tag == "li" and self._item_depth == self._depth:
+            title = " ".join("".join(self._row_title).split())
+            body = " ".join("".join(self._row_body).split())
+            tm = " ".join("".join(self._row_time).split())
+            iso = None
+            if tm:                                        # publications
+                iso = swedish_date_iso(tm)
+            elif "Beslut" in body:                        # sweden:100-106
+                iso = swedish_date_iso(body)
+            if title and self._row_href and iso:
+                self.results.append((title, iso, self._row_href))
+            self._item_depth = None
+        elif tag == "ul":
+            self._in_list = False
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_h2:
+            self._row_title.append(data)
+        elif self._in_body:
+            self._row_body.append(data)
+        elif self._in_time:
+            self._row_time.append(data)
+
+
+class _SwedenDetail(HTMLParser):
+    """Decision-page scanner (sweden:141-155): body is
+    ``div.imy-body.imy-contentpage__main-content`` (publications use
+    ``div.imy-info-block__small``, sweden:252); every ``.pdf`` link
+    inside the body is an attached file (sweden:153) surfaced as a
+    frontier out-link."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.body_lines: list[str] = []
+        self.pdf_hrefs: list[str] = []
+        self._depth = 0
+        self._in_h1 = False
+        self._body_depth: int | None = None
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif tag == "div" and self._body_depth is None and (
+                ("imy-body" in cls and "imy-contentpage__main-content" in cls)
+                or "imy-info-block__small" in cls):
+            self._body_depth = self._depth
+        elif self._body_depth is not None:
+            if tag == "a":
+                href = _attr(attrs, "href")
+                if href and href.endswith(".pdf"):
+                    self.pdf_hrefs.append(href)           # sweden:153
+            if tag in ("h2", "h3", "p", "li", "div", "br"):
+                self._flush()
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag in ("h2", "h3", "p", "li"):
+            self._flush()
+        elif tag == "div" and self._body_depth == self._depth:
+            self._flush()
+            self._body_depth = None
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._body_depth is not None:
+            self._line.append(data)
+
+
+def sweden_page_parser(html: bytes | None) -> ParsedPage:
+    """IMY parser. The reference paginates SPECULATIVELY — it enqueues
+    ``?query=&page=current..999`` up front and bails out of the whole
+    section at the first page whose result list is missing
+    (sweden:44-49, 84-87). The engine realizes the same traversal
+    incrementally: while a page HAS results, schedule ``?query=&page=
+    N+1`` (N read from the echoed search-form ``page`` input); the
+    first empty page emits nothing and the frontier drains — same
+    pages fetched, no 999-URL speculation in the frontier. Detail
+    pages carry no machine date (the reference takes the date from
+    the listing row); the listing's window filter therefore gates
+    scheduling, and the detail emits its body with the date line left
+    empty for downstream converters."""
+    if html and b"imy-search__results-" in html:
+        p = _SwedenListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.has_list:
+            nxt = None
+            if p.results and p.page_no is not None:
+                nxt = f"?query=&page={p.page_no + 1}"     # sweden:44-49
+            return ParsedPage(kind="listing", results=p.results,
+                              next_href=nxt)
+    if html and (b"imy-contentpage__main-content" in html
+                 or b"imy-info-block__small" in html):
+        p = _SwedenDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title and p.body_lines:
+            # sweden:141-190 — the decision page itself shows the date
+            # in its body header line ("Beslut ... 2021-06-09")
+            iso = swedish_date_iso(" ".join(p.body_lines[:1])) or ""
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n" + "\n".join(p.body_lines),
+                out_links=p.pdf_hrefs)
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Portugal / CNPD: enumerated c-pagination, c-card rows, title-year gate
+# --------------------------------------------------------------------------
+
+class _PortugalListing(HTMLParser):
+    """cnpd.pt historico-de-decisoes scanner (portugal:88-130): rows
+    are ``div.c-card`` under ``div.layout``; the first ``<a>`` is the
+    DIRECT document link (a PDF, fetched as binary) and its
+    ``div.c-card-header-medium`` child is the title, whose last four
+    characters are the decision year — rows with year < 2018 are
+    skipped (portugal:115-120). Pagination (portugal:41-51): the
+    ``div.c-pagination`` block enumerates every page link; all its
+    ``<a>`` hrefs enter the frontier (seen-dedup collapses repeats
+    across pages)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        self._in_layout = False
+        self._card_depth: int | None = None
+        self._in_title = self._in_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._in_pager = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "layout" in cls:
+            self._in_layout = True
+        elif tag == "div" and "c-card" in cls and self._in_layout \
+                and self._card_depth is None:
+            self._card_depth = self._depth
+            self._row_href, self._row_title = None, []
+        elif self._card_depth is not None:
+            if tag == "a" and self._row_href is None:
+                self._row_href = _attr(attrs, "href")    # portugal:96,121
+                self._in_a = True
+            elif tag == "div" and "c-card-header-medium" in cls:
+                self._in_title = True                    # portugal:103
+        if tag == "div" and "c-pagination" in cls:
+            self._in_pager = True                        # portugal:43
+        elif tag == "a" and self._in_pager:
+            href = _attr(attrs, "href")
+            if href:
+                self.page_hrefs.append(href)             # portugal:45-51
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "div":
+            if self._in_title:
+                self._in_title = False
+            elif self._card_depth == self._depth:
+                title = " ".join("".join(self._row_title).split())
+                year = title[-4:]
+                # portugal:115-120 — the year gate lives in the parser
+                # because the title carries no full date; in-window
+                # rows schedule with an empty date_str (never
+                # date-filtered downstream, like the reference which
+                # only gates on the year)
+                if title and self._row_href and year.isdigit() \
+                        and int(year) >= 2018:
+                    self.results.append((title, "", self._row_href))
+                self._card_depth = None
+            elif self._in_pager:
+                self._in_pager = False
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._row_title.append(data)
+
+
+def portugal_page_parser(html: bytes | None) -> ParsedPage:
+    """CNPD parser — listing-only source: every retained card links
+    straight to a PDF (fetched as binary, converted downstream);
+    there is no HTML detail page (portugal:139-150 writes the
+    response body as the pdf)."""
+    if html and b"c-card" in html:
+        p = _PortugalListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -1637,6 +2148,46 @@ GREECE_SPEC = SourceSpec(
 )
 
 
+UK_SPEC = SourceSpec(
+    source_id="uk-ico",
+    hosts=("ico.org.uk", "www.ico.org.uk", "icosearch.ico.org.uk"),
+    seed_urls=(  # uk:84-90, 36-37 — the three get_docs_* sections
+        "https://icosearch.ico.org.uk/s/search.html?collection=ico-meta"
+        "&profile=decisions&query&query=GDPR",
+        "https://ico.org.uk/action-weve-taken/audits-and-overview-reports/"
+        "?facet_type=&facet_sector=&facet_date=custom"
+        "&date_from=01%2F05%2F2018&date_to=",
+        "https://ico.org.uk/action-weve-taken/enforcement/",
+    ),
+    doc_types=("Notices", "Reports", "Enforcements"),
+    pagination="forward",
+    page_parser=uk_page_parser,
+)
+
+SWEDEN_SPEC = SourceSpec(
+    source_id="sweden-imy",
+    hosts=("www.imy.se", "imy.se"),
+    seed_urls=(  # sweden:33-44 — both sections start at page 1
+        "https://www.imy.se/tillsyner/?query=&page=1",
+        "https://www.imy.se/publikationer/?query=&page=1",
+    ),
+    doc_types=("Decisions & Judgements", "Publications"),
+    pagination="forward",
+    page_parser=sweden_page_parser,
+)
+
+PORTUGAL_SPEC = SourceSpec(
+    source_id="portugal-cnpd",
+    hosts=("www.cnpd.pt", "cnpd.pt"),
+    seed_urls=(  # portugal:30-31 — the year-filtered decisions view
+        "https://www.cnpd.pt/decisoes/historico-de-decisoes/"
+        "?year=2021&pgd=1",),
+    doc_types=("Decisions",),
+    pagination="forward",
+    page_parser=portugal_page_parser,
+)
+
+
 def register_reference_specs() -> list[SourceSpec]:
     """Register the reference-parity specs (call before building the
     pipeline, or pass the returned specs via an explicit registry)."""
@@ -1645,4 +2196,5 @@ def register_reference_specs() -> list[SourceSpec]:
             register(FRANCE_SPEC), register(BELGIUM_SPEC),
             register(FINLAND_SPEC), register(NETHERLANDS_SPEC),
             register(SPAIN_SPEC), register(IRELAND_SPEC),
-            register(GREECE_SPEC)]
+            register(GREECE_SPEC), register(UK_SPEC),
+            register(SWEDEN_SPEC), register(PORTUGAL_SPEC)]

@@ -154,7 +154,14 @@ class ParseStage:
             dates.append(rel if ok else None)
             dh = md5_hex(title) if ok else None
             doc_hashes.append(dh)
-            doc_keys.append(f"{dh}-{rel.isoformat()}" if ok else None)
+            # composite key: hash-date (denmark:135-140), with an
+            # optional source-specific middle component
+            # (united_kingdom:386-390 — hash-noticeType-date)
+            if ok:
+                mid = f"{page.key_extra}-" if page.key_extra else ""
+                doc_keys.append(f"{dh}-{mid}{rel.isoformat()}")
+            else:
+                doc_keys.append(None)
             doc_oks.append(ok)
             n_filtered.append(filtered)
 

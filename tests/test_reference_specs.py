@@ -995,3 +995,296 @@ def test_ireland_greece_parsers_standalone():
     assert grd.kind == "detail"
     assert grd.text.split("\n")[:2] == ["A1", "Released 2021-06-16"]
     assert grd.out_links == ["/f/a1.pdf"]
+
+
+# --------------------------------------------------------------------------
+# United Kingdom: itemlink rows, "date, type" meta, hash+type+date key
+# --------------------------------------------------------------------------
+
+UK = "https://ico.org.uk"
+UKS = "https://icosearch.ico.org.uk"
+
+
+def _uk_item(title, meta, href=None, pdf_title=None):
+    t = f' title="{pdf_title}"' if pdf_title else ""
+    h = f' href="{href}"' if href else ' href="#"'
+    return ('<div class="itemlink">'
+            f'<a{h}{t}><h2 class="h3">{title}</h2></a>'
+            f'<p class="text-small">{meta}</p></div>')
+
+
+def _uk_listing(items, next_href=None):
+    nav = ""
+    if next_href:
+        nav = ('<nav class="article-navigation">'
+               f'<a class="button button-top" href="{next_href}">Next</a>'
+               "</nav>")
+    return ('<html><body><div class="maincolumn">'
+            '<div class="resultlist">' + "".join(items)
+            + "</div></div>" + nav + "</body></html>").encode()
+
+
+def _uk_doc(title, meta, body="decision details", files=()):
+    aside = ""
+    if files:
+        aside = ('<aside class="aside-further"><ul>' + "".join(
+            f'<li><h3>f</h3><a href="{h}">file</a></li>' for h in files)
+            + "</ul></aside>")
+    return (f"<html><body><h1>{title}</h1>"
+            f'<p class="text-small">{meta}</p>'
+            f'<div class="article-content"><p>{body}</p></div>'
+            f"{aside}</body></html>").encode()
+
+
+def test_uk_composite_key_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the ICO structure: next-button pagination,
+    direct-PDF Notices via the link title attribute (non-pdf skipped),
+    listing window filter on the "date, type" meta, aside-further
+    files followed, and the hash+noticeType+date composite key keeping
+    two same-title/same-date notices of DIFFERENT types as two docs
+    (uk:386-390)."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import UK_SPEC
+
+    notices = _uk_listing([
+        _uk_item("Acme fine", "12 June 2021, Monetary penalties",
+                 href="/d/ignored", pdf_title=f"{UK}/files/n1.pdf"),
+        _uk_item("Beta note", "1 June 2021, Monetary penalties",
+                 href="/d/beta", pdf_title=f"{UK}/pages/beta.html"),
+    ])  # beta: non-pdf title attr -> row skipped entirely (uk:135-137)
+    enf1 = _uk_listing([
+        _uk_item("Enforcement: ACME Ltd", "9 March 2021, "
+                 "Enforcement notices", href="/enf/e1/"),
+        _uk_item("Old case", "1 April 2017, Enforcement notices",
+                 href="/enf/old/"),
+    ], next_href="/action-weve-taken/enforcement/?page=2")
+    enf2 = _uk_listing([
+        _uk_item("Enforcement: ACME Ltd", "9 March 2021, "
+                 "Monetary penalties", href="/enf/e2/"),
+    ])
+    pages = _pages_table([
+        (f"{UKS}/s/search.html?query=GDPR", notices),
+        (f"{UK}/action-weve-taken/enforcement/", enf1),
+        (f"{UK}/action-weve-taken/enforcement/?page=2", enf2),
+        (f"{UK}/enf/e1/", _uk_doc("Enforcement: ACME Ltd",
+                                  "9 March 2021, Enforcement notices",
+                                  files=["/files/e1.pdf"])),
+        (f"{UK}/enf/e2/", _uk_doc("Enforcement: ACME Ltd",
+                                  "9 March 2021, Monetary penalties")),
+        (f"{UK}/files/n1.pdf", b"%PDF-1.4 stub"),
+        (f"{UK}/files/e1.pdf", b"%PDF-1.4 stub"),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{UKS}/s/search.html?query=GDPR",
+                          f"{UK}/action-weve-taken/enforcement/"]),
+        _robots(tmp_path, ["ico.org.uk", "icosearch.ico.org.uk"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: UK_SPEC for h in UK_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{UK}/action-weve-taken/enforcement?page=2" in fetched
+    assert f"{UK}/files/n1.pdf" in fetched        # notice PDF (title attr)
+    assert f"{UK}/files/e1.pdf" in fetched        # aside-further file
+    assert f"{UK}/enf/old" not in fetched        # 2017: window-filtered
+    assert f"{UK}/d/beta" not in fetched          # non-pdf notice skipped
+    docs = finalize_docs(out).to_pandas()
+    same_title = docs[docs["title"] == "Enforcement: ACME Ltd"]
+    # same md5(title) and date, DIFFERENT notice type -> two documents
+    assert len(same_title) == 2
+    assert set(same_title["doc_key"].str.split("-2021").str[0]
+               .str.split("-", n=1).str[1]) == {
+        "Enforcement_notices", "Monetary_penalties"}
+
+
+# --------------------------------------------------------------------------
+# Sweden: incremental ?page=N walk, Beslut-gated rows, last-token dates
+# --------------------------------------------------------------------------
+
+SE = "https://www.imy.se"
+
+
+def _se_item(title, body, href):
+    return ('<li class="imy-search__results-item">'
+            f'<a href="{href}"><h2 class="imy-search-hit__heading">{title}'
+            f"</h2></a><p class=\"imy-search-hit__body\">{body}</p></li>")
+
+
+def _se_listing(items, page_no):
+    return ('<html><body><form>'
+            f'<input type="hidden" name="page" value="{page_no}"/></form>'
+            '<ul class="imy-search__results-list">' + "".join(items)
+            + "</ul></body></html>").encode()
+
+
+def _se_doc(title, first_line, body="beslutets skäl", pdfs=()):
+    links = "".join(f'<p><a href="{h}">bilaga</a></p>' for h in pdfs)
+    return (f"<html><body><h1>{title}</h1>"
+            '<div class="imy-body imy-contentpage__main-content">'
+            f"<p>{first_line}</p><p>{body}</p>{links}"
+            "</div></body></html>").encode()
+
+
+def test_sweden_incremental_pages_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the IMY structure: the speculative
+    ?query=&page=N enumeration realized incrementally (next page
+    scheduled only while the current one has results; the first
+    list-less page drains the frontier), ongoing rows without
+    'Beslut' skipped, year-only dates defaulting to -01-01, body PDF
+    attachments followed."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import SWEDEN_SPEC
+
+    base = f"{SE}/tillsyner/"
+    p1 = _se_listing([
+        _se_item("Tillsyn Alpha", "Beslut meddelat 2021-06-09", "/t/a"),
+        _se_item("Tillsyn Ongoing", "Ärendet pågår fortfarande", "/t/x"),
+        _se_item("Tillsyn Old", "Beslut meddelat 2017-02-01", "/t/old"),
+    ], 1)
+    p2 = _se_listing([
+        _se_item("Tillsyn Beta", "Beslut fattades under 2019", "/t/b"),
+    ], 2)
+    shell = b"<html><body><p>Inga resultat</p></body></html>"
+    pages = _pages_table([
+        (f"{base}?query=&page=1", p1),
+        (f"{base}?query=&page=2", p2),
+        (f"{base}?query=&page=3", shell),      # empty page: walk stops
+        (f"{SE}/t/a", _se_doc("Tillsyn Alpha", "Beslut meddelat 2021-06-09",
+                              pdfs=["/f/a.pdf"])),
+        (f"{SE}/t/b", _se_doc("Tillsyn Beta", "Beslut 2019-01-01")),
+        (f"{SE}/t/old", _se_doc("Tillsyn Old",
+                                "Beslut meddelat 2017-02-01")),
+        (f"{SE}/f/a.pdf", b"%PDF-1.4 stub"),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{base}?query=&page=1"]),
+        _robots(tmp_path, ["www.imy.se"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: SWEDEN_SPEC for h in SWEDEN_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    cbase = f"{SE}/tillsyner"                     # canonical: no slash
+    assert f"{cbase}?query=&page=2" in fetched    # incremental walk
+    assert f"{cbase}?query=&page=3" in fetched    # probed, found empty
+    assert f"{cbase}?query=&page=4" not in fetched  # ...and stopped
+    assert f"{SE}/t/x" not in fetched             # no 'Beslut': ongoing
+    assert f"{SE}/t/old" not in fetched           # window-filtered
+    assert f"{SE}/f/a.pdf" in fetched             # body attachment
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Tillsyn Alpha", "Tillsyn Beta"}
+    assert str(docs.loc["Tillsyn Alpha", "release_date"]) == "2021-06-09"
+    assert str(docs.loc["Tillsyn Beta", "release_date"]) == "2019-01-01"
+
+
+# --------------------------------------------------------------------------
+# Portugal: c-pagination enumerated pager, c-card direct-PDF rows
+# --------------------------------------------------------------------------
+
+PT = "https://www.cnpd.pt"
+
+
+def _pt_card(title, href):
+    return (f'<div class="c-card"><a href="{href}">'
+            f'<div class="c-card-header-medium">{title}</div>'
+            "</a></div>")
+
+
+def _pt_listing(cards, pager_hrefs=()):
+    pager = ""
+    if pager_hrefs:
+        pager = ('<div class="c-pagination">' + "".join(
+            f'<a href="{h}">{i + 1}</a>' for i, h in enumerate(pager_hrefs))
+            + "</div>")
+    return ('<html><body><div class="layout">' + "".join(cards)
+            + pager + "</div></body></html>").encode()
+
+
+def test_portugal_card_listing_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the CNPD structure: every c-pagination
+    link enqueues (seen-dedup collapses the self-link), card rows link
+    straight to PDFs fetched as binary, and the title-suffix year gate
+    drops pre-2018 rows at the listing (portugal:115-120)."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import PORTUGAL_SPEC
+
+    base = f"{PT}/decisoes/historico-de-decisoes/"
+    p1 = _pt_listing(
+        [_pt_card("Deliberação 2021/622 - 2021", "/docs/d622.pdf"),
+         _pt_card("Deliberação antiga - 2016", "/docs/old.pdf")],
+        pager_hrefs=[f"{base}?year=2021&pgd=1", f"{base}?year=2021&pgd=2"])
+    p2 = _pt_listing(
+        [_pt_card("Decisão 43 - 2020", "/docs/d43.pdf")],
+        pager_hrefs=[f"{base}?year=2021&pgd=1", f"{base}?year=2021&pgd=2"])
+    pdf = b"%PDF-1.4 stub"
+    pages = _pages_table([
+        (f"{base}?year=2021&pgd=1", p1),
+        (f"{base}?year=2021&pgd=2", p2),
+        (f"{PT}/docs/d622.pdf", pdf), (f"{PT}/docs/old.pdf", pdf),
+        (f"{PT}/docs/d43.pdf", pdf),
+    ])
+    out = str(tmp_path / "out")
+    summary = run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{base}?year=2021&pgd=1"]),
+        _robots(tmp_path, ["www.cnpd.pt"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: PORTUGAL_SPEC
+                              for h in PORTUGAL_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    cbase = f"{PT}/decisoes/historico-de-decisoes"   # canonical form
+    assert fetched == {
+        f"{cbase}?year=2021&pgd=1", f"{cbase}?year=2021&pgd=2",
+        f"{PT}/docs/d622.pdf", f"{PT}/docs/d43.pdf",
+    }  # old.pdf gated by the title year; pgd=1 self-link seen-deduped
+    assert summary["urls_fetched"] == 4
+    assert log.set_index("url").loc[f"{PT}/docs/d622.pdf", "kind"] \
+        == "binary"
+
+
+def test_uk_sweden_portugal_parsers_standalone():
+    from crawler_ray.sources.specs import (portugal_page_parser,
+                                           swedish_date_iso,
+                                           sweden_page_parser,
+                                           uk_page_parser)
+
+    uk = uk_page_parser(_uk_listing(
+        [_uk_item("T", "12 June 2021, Monetary penalties", href="/d/t")],
+        next_href="/enf/?page=2"))
+    assert uk.kind == "listing"
+    assert uk.results == [("T", "2021-06-12", "/d/t")]
+    assert uk.next_href == "/enf/?page=2"
+    ukd = uk_page_parser(_uk_doc("T", "12 June 2021, Enforcement notices",
+                                 files=["/f/x.pdf"]))
+    assert ukd.kind == "detail"
+    assert ukd.text.split("\n")[:2] == ["T", "Released 2021-06-12"]
+    assert ukd.key_extra == "Enforcement_notices"   # uk:386-390
+    assert ukd.out_links == ["/f/x.pdf"]
+
+    assert swedish_date_iso("Beslut meddelat 2021-06-09") == "2021-06-09"
+    assert swedish_date_iso("Beslut fattades under 2019") == "2019-01-01"
+    assert swedish_date_iso("Beslut den 9 juni 2021") == "2021-06-09"
+    se = sweden_page_parser(_se_listing(
+        [_se_item("T", "Beslut 2021-06-09", "/t/1")], 4))
+    assert se.kind == "listing"
+    assert se.results == [("T", "2021-06-09", "/t/1")]
+    assert se.next_href == "?query=&page=5"         # sweden:44-49
+    se_empty = sweden_page_parser(
+        b'<html><body><ul class="imy-search__results-list"></ul>'
+        b"</body></html>")
+    assert se_empty.kind == "listing"
+    assert se_empty.results == [] and se_empty.next_href is None
+
+    pt = portugal_page_parser(_pt_listing(
+        [_pt_card("Deliberação X - 2020", "/d/x.pdf"),
+         _pt_card("Deliberação Y - 2017", "/d/y.pdf")],
+        pager_hrefs=["?pgd=2"]))
+    assert pt.kind == "listing"
+    assert pt.results == [("Deliberação X - 2020", "", "/d/x.pdf")]
+    assert pt.out_links == ["?pgd=2"]
