@@ -17,6 +17,18 @@ over their real DOM shapes:
 - **Portugal / CNPD** (portugal:26-150): ``div.c-pagination``
   enumerated pager, ``div.c-card`` rows linking STRAIGHT to PDFs,
   the title-suffix year gate (year < 2018 skipped at the listing).
+- **Hungary / NAIH** (hungary:23-170): Joomla phocadownload
+  ``pd-filebox`` rows whose href IS the document download; Hungarian
+  textual dates; ``pagination-next`` pagenav pagination; five
+  sections seeding one crawl.
+- **Poland / UODO** (poland:31-216): ``div.decision`` rows with
+  Polish genitive dates, ``artLevel0`` tutorial rows dated only on
+  the detail page, and the reference's per-document Selenium detail
+  fetch replaced by routing the host through the warm render pool.
+- **Estonia / AKI** (estonia:45-230): sidebar year-menu fan-out with
+  the menu-year gate, ``field-item even`` prescription lists dated
+  from the ``dd.mm.yyyy`` title/href token, and the instructions
+  table with its year cells and cooperation-section sentinel.
 
 - **Ireland / DPC** (ireland:29-210): ordinal English dates
   ("21st May 2021" → suffix stripped, ``%d %B %Y``), Drupal
@@ -108,12 +120,16 @@ __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "netherlands_page_parser", "spain_page_parser",
            "ireland_page_parser", "greece_page_parser",
            "uk_page_parser", "sweden_page_parser", "portugal_page_parser",
+           "hungary_page_parser", "poland_page_parser",
+           "estonia_page_parser",
            "french_date_iso", "dutch_date_iso", "english_date_iso",
-           "swedish_date_iso",
+           "swedish_date_iso", "hungarian_date_iso", "polish_date_iso",
+           "estonian_doc_date_iso",
            "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC", "DENMARK_SPEC",
            "FRANCE_SPEC", "FRANCE_API", "BELGIUM_SPEC", "FINLAND_SPEC",
            "NETHERLANDS_SPEC", "SPAIN_SPEC", "IRELAND_SPEC", "GREECE_SPEC",
-           "UK_SPEC", "SWEDEN_SPEC", "PORTUGAL_SPEC",
+           "UK_SPEC", "SWEDEN_SPEC", "PORTUGAL_SPEC", "HUNGARY_SPEC",
+           "POLAND_SPEC", "ESTONIA_SPEC",
            "register_reference_specs"]
 
 
@@ -2003,6 +2019,473 @@ def portugal_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+# --------------------------------------------------------------------------
+# Hungary / NAIH: phocadownload fileboxes + pagination-next pagenav
+# --------------------------------------------------------------------------
+
+_HU_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["január", "február", "március", "április", "május", "június",
+     "július", "augusztus", "szeptember", "október", "november",
+     "december"])}
+
+
+def hungarian_date_iso(s: str | None) -> str | None:
+    """NAIH filebox dates → ISO (hungary:110-113, dateparser with
+    ``hu``): Hungarian ``ÉÉÉÉ. hónap N.`` textual form, plus the
+    numeric ``yyyy-mm-dd`` / ``yyyy.mm.dd`` forms the site also
+    uses."""
+    s = (s or "").strip().lower()
+    if not s:
+        return None
+    m = re.search(r"(\d{4})\.\s*([a-záéíóöőúüű]+)\s+(\d{1,2})\.?", s)
+    if m and m.group(2) in _HU_MONTHS:
+        return (f"{int(m.group(1)):04d}-{_HU_MONTHS[m.group(2)]:02d}-"
+                f"{int(m.group(3)):02d}")
+    m = re.search(r"(\d{4})[.-](\d{1,2})[.-](\d{1,2})", s)
+    if m:
+        return (f"{int(m.group(1)):04d}-{int(m.group(2)):02d}-"
+                f"{int(m.group(3)):02d}")
+    return None
+
+
+class _HungaryListing(HTMLParser):
+    """naih.hu phocadownload category scanner (hungary:101-113): rows
+    are ``div.pd-filebox`` under ``div.pd-category``; the title link
+    sits in ``div.pd-filenamebox > div.pd-filename > div.pd-float >
+    a`` (title text + DIRECT file href — the document is the download
+    itself, hungary:125-147) and the date is the ``div.pd-fl-m`` text.
+    Pagination (hungary:46-54): ``div.sectiontablefooter`` →
+    ``li.pagination-next`` → ``a.hasTooltip.pagenav``."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.next_href: str | None = None
+        self._depth = 0
+        self._in_category = False
+        self._box_depth: int | None = None
+        self._in_float = self._in_float_a = self._in_date = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_date: list[str] = []
+        self._in_footer = self._in_next_li = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "pd-category" in cls:
+            self._in_category = True
+        elif tag == "div" and "pd-filebox" in cls and self._in_category \
+                and self._box_depth is None:
+            self._box_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._box_depth is not None:
+            if tag == "div" and "pd-float" in cls:
+                self._in_float = True                 # hungary:105
+            elif tag == "a" and self._in_float and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # hungary:106-108
+                self._in_float_a = True
+            elif tag == "div" and "pd-fl-m" in cls:
+                self._in_date = True                  # hungary:109-111
+        if tag == "div" and "sectiontablefooter" in cls:
+            self._in_footer = True                    # hungary:48
+        elif tag == "li" and "pagination-next" in cls and self._in_footer:
+            self._in_next_li = True                   # hungary:51
+        elif tag == "a" and self._in_next_li and "pagenav" in cls \
+                and self.next_href is None:
+            self.next_href = _attr(attrs, "href")     # hungary:54
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_float_a = False
+        elif tag == "li":
+            self._in_next_li = False
+        elif tag == "div":
+            if self._in_float:
+                self._in_float = False
+            elif self._in_date:
+                self._in_date = False
+            elif self._box_depth == self._depth:
+                title = " ".join("".join(self._row_title).split())
+                iso = hungarian_date_iso(
+                    " ".join("".join(self._row_date).split())) or ""
+                if title and self._row_href:
+                    self.results.append((title, iso, self._row_href))
+                self._box_depth = None
+            elif self._in_footer and "sectiontablefooter":
+                pass
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_float_a:
+            self._row_title.append(data)
+        elif self._in_date:
+            self._row_date.append(data)
+
+
+def hungary_page_parser(html: bytes | None) -> ParsedPage:
+    """NAIH parser — listing-only source: every filebox href IS the
+    document download (fetched as binary, converted downstream;
+    hungary:125-147 writes the response body as the pdf). Hungarian
+    dates normalize to ISO so the engine's window filter reproduces
+    ``ShouldRetainDocumentSpecification`` (hungary:114-115) at
+    discovery. The five sections (decisions, recommendations,
+    notices, resolutions, annual reports — hungary:25-30) are five
+    seeds of one crawl."""
+    if html and b"pd-category" in html:
+        p = _HungaryListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.next_href:
+            return ParsedPage(kind="listing", results=p.results,
+                              next_href=p.next_href)
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Poland / UODO: decisions container + artLevel0 tutorials, rendered details
+# --------------------------------------------------------------------------
+
+_PL_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["stycznia", "lutego", "marca", "kwietnia", "maja", "czerwca",
+     "lipca", "sierpnia", "września", "października", "listopada",
+     "grudnia"])}
+
+
+def polish_date_iso(s: str | None) -> str | None:
+    """UODO dates → ISO (poland:84-86, 190-192 — dateparser with
+    ``pl``): genitive textual ``D miesiąca RRRR`` plus the numeric
+    ``dd.mm.yyyy`` form."""
+    s = (s or "").strip().lower()
+    if not s:
+        return None
+    m = re.search(r"(\d{1,2})\s+([a-ząćęłńóśźż]+)\s+(\d{4})", s)
+    if m and m.group(2) in _PL_MONTHS:
+        return (f"{int(m.group(3)):04d}-{_PL_MONTHS[m.group(2)]:02d}-"
+                f"{int(m.group(1)):02d}")
+    m = re.search(r"(\d{1,2})\.(\d{1,2})\.(\d{4})", s)
+    if m:
+        return (f"{int(m.group(3)):04d}-{int(m.group(2)):02d}-"
+                f"{int(m.group(1)):02d}")
+    return None
+
+
+class _PolandListing(HTMLParser):
+    """uodo.gov.pl scanner for BOTH listing shapes: decisions
+    (poland:77-99) are ``div.decision`` rows under
+    ``div#decisions-container`` with a ``div.float-sm-right`` Polish
+    date and an ``<a>`` title/detail link; tutorials (poland:156-176)
+    are ``div.artLevel0`` rows under ``div.body-content`` with only
+    the ``<a>`` (their dates live on the detail page). Neither view
+    paginates (poland:31-45 only seeds the start path)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self._depth = 0
+        self._in_container = False
+        self._row_depth: int | None = None
+        self._in_date = self._in_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_date: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        ident = _attr(attrs, "id") or ""
+        if tag == "div" and (ident == "decisions-container"
+                             or "body-content" in cls):
+            self._in_container = True
+        elif tag == "div" and ("decision" in cls or "artLevel0" in cls) \
+                and self._in_container and self._row_depth is None:
+            self._row_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._row_depth is not None:
+            if tag == "div" and "float-sm-right" in cls:
+                self._in_date = True                  # poland:81-83
+            elif tag == "a" and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # poland:89-99
+                self._in_a = True
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "div":
+            if self._in_date:
+                self._in_date = False
+            elif self._row_depth == self._depth:
+                title = " ".join("".join(self._row_title).split())
+                iso = polish_date_iso(
+                    " ".join("".join(self._row_date).split())) or ""
+                if title and self._row_href:
+                    self.results.append((title, iso, self._row_href))
+                self._row_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_a:
+            self._row_title.append(data)
+        elif self._in_date:
+            self._row_date.append(data)
+
+
+class _PolandDetail(HTMLParser):
+    """Article scanner (poland:116-118 decisions, :181-190 tutorials):
+    body is ``div#article-content``; the date (tutorials) is the
+    ``article-metric-button`` element's text — the SELENIUM-only bit
+    of the reference scraper, which the engine covers by routing the
+    host through the warm render pool (``needs_render=True``)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.date_text: list[str] = []
+        self.body_lines: list[str] = []
+        self._depth = 0
+        self._in_h1 = self._in_metric = False
+        self._body_depth: int | None = None
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif "article-metric-button" in cls:
+            self._in_metric = True                    # poland:185-190
+        elif _attr(attrs, "id") == "article-content" \
+                and self._body_depth is None:
+            self._body_depth = self._depth            # poland:116,182
+        elif self._body_depth is not None and tag in (
+                "h2", "h3", "p", "li", "div", "br"):
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif self._in_metric:
+            self._in_metric = False
+        elif tag in ("h2", "h3", "p", "li"):
+            self._flush()
+        elif tag == "div" and self._body_depth == self._depth:
+            self._flush()
+            self._body_depth = None
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._in_metric:
+            self.date_text.append(data)
+        elif self._body_depth is not None:
+            self._line.append(data)
+
+
+def poland_page_parser(html: bytes | None) -> ParsedPage:
+    """UODO parser. Decisions carry their Polish date on the listing
+    row (window filter at discovery); tutorials carry it only on the
+    rendered detail page (poland:185-192) — the detail parse reads
+    ``article-metric-button`` and gates the document there instead."""
+    if html and (b"decisions-container" in html or b"artLevel0" in html):
+        p = _PolandListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results:
+            return ParsedPage(kind="listing", results=p.results)
+    if html and b"article-content" in html:
+        p = _PolandDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title and p.body_lines:
+            iso = polish_date_iso(
+                " ".join("".join(p.date_text).split())) or ""
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n" + "\n".join(p.body_lines))
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Estonia / AKI: sidebar year-menu fan-out + field-item document lists
+# --------------------------------------------------------------------------
+
+def estonian_doc_date_iso(title: str, href: str) -> str | None:
+    """Prescription dates → ISO (estonia:85-98): the ``dd.mm.yyyy``
+    token before ``nr`` in the title; when the title token is
+    alphabetic the date comes from the href's ``_dd.mm.yyyy_``
+    filename segment instead."""
+    head = title.split("nr")[0].strip()
+    tok = head.split()[-1] if head.split() else ""
+    m = re.fullmatch(r"(\d{1,2})\.(\d{1,2})\.(\d{4})", tok)
+    if not m:
+        parts = href.split("nr")[0].split("/")[-1].split("_")
+        if len(parts) >= 2:
+            m = re.fullmatch(r"(\d{1,2})\.(\d{1,2})\.(\d{4})", parts[-2])
+    if not m:
+        return None
+    return (f"{int(m.group(3)):04d}-{int(m.group(2)):02d}-"
+            f"{int(m.group(1)):02d}")
+
+
+class _EstoniaMenu(HTMLParser):
+    """Root-page scanner (estonia:62-68): the year sub-pages are the
+    ``ul.menu`` links inside ``div.region-sidebar-first-inner``; link
+    text ends with the year and years < 2018 never enqueue."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.year_hrefs: list[str] = []
+        self._in_region = self._in_menu = False
+        self._a_href: str | None = None
+        self._a_text: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        cls = _classes(attrs)
+        if tag == "div" and "region-sidebar-first-inner" in cls:
+            self._in_region = True
+        elif tag == "ul" and "menu" in cls and self._in_region:
+            self._in_menu = True
+        elif tag == "a" and self._in_menu:
+            self._a_href = _attr(attrs, "href")
+            self._a_text = []
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._a_href is not None:
+            text = " ".join("".join(self._a_text).split())
+            year = text.split()[-1] if text.split() else ""
+            # estonia:66-68 — the year gate on the menu text
+            if year.isdigit() and year >= "2018":
+                self.year_hrefs.append(self._a_href)
+            self._a_href = None
+        elif tag == "ul":
+            self._in_menu = False
+
+    def handle_data(self, data):
+        if self._a_href is not None:
+            self._a_text.append(data)
+
+
+class _EstoniaDocList(HTMLParser):
+    """Year-page scanner. Two reference shapes reduce to one scan:
+    prescriptions (estonia:78-98) list ``<p><a>`` document links
+    inside ``div.field-item.even``; instructions (estonia:164-188)
+    list ``tbody > tr`` rows whose year is the last digit-only
+    ``<td>`` and whose link ``<td>`` carries title+href, with the
+    cooperation-section sentinel cell ending the row scan."""
+
+    SENTINEL = "Teiste asutustega koostöös loodud juhendid"
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.p_rows: list[tuple[str, str]] = []      # (title, href)
+        self.tr_rows: list[tuple[str, str, str]] = []  # (title, year, href)
+        self._depth = 0
+        self._field_depth: int | None = None
+        self._in_p = False
+        self._p_href: str | None = None
+        self._p_text: list[str] = []
+        self._in_tbody = self._in_tr = self._in_td = False
+        self._td_texts: list[str] = []
+        self._td_cur: list[str] = []
+        self._tr_href: str | None = None
+        self._tr_title: list[str] = []
+        self._td_has_a = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "field-item" in cls and "even" in cls \
+                and self._field_depth is None:
+            self._field_depth = self._depth
+        elif tag == "p" and self._field_depth is not None:
+            self._in_p = True
+            self._p_href, self._p_text = None, []
+        elif tag == "a" and self._in_p and self._p_href is None:
+            self._p_href = _attr(attrs, "href")      # estonia:82-86
+        if tag == "tbody":
+            self._in_tbody = True
+        elif tag == "tr" and self._in_tbody:
+            self._in_tr = True
+            self._td_texts, self._tr_href, self._tr_title = [], None, []
+        elif tag == "td" and self._in_tr:
+            self._in_td = True
+            self._td_cur, self._td_has_a = [], False
+        elif tag == "a" and self._in_td:
+            self._td_has_a = True
+            self._tr_href = _attr(attrs, "href")     # estonia:181-182
+            self._tr_title = []
+
+    def handle_endtag(self, tag):
+        if tag == "p" and self._in_p:
+            self._in_p = False
+            title = " ".join("".join(self._p_text).split())
+            if title and self._p_href:
+                self.p_rows.append((title, self._p_href))
+        elif tag == "td" and self._in_td:
+            self._in_td = False
+            if not self._td_has_a:
+                self._td_texts.append(
+                    " ".join("".join(self._td_cur).split()))
+        elif tag == "tr" and self._in_tr:
+            self._in_tr = False
+            # estonia:172-189 — sentinel cell ends the scan; year =
+            # last digit-only cell; skip rows without both
+            if self.SENTINEL in self._td_texts:
+                return
+            years = [t for t in self._td_texts if t.isdigit()]
+            title = " ".join("".join(self._tr_title).split())
+            if years and title and self._tr_href:
+                self.tr_rows.append((title, years[-1], self._tr_href))
+        elif tag == "tbody":
+            self._in_tbody = False
+        elif tag == "div" and self._field_depth == self._depth:
+            self._field_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_p and self._p_href is not None:
+            self._p_text.append(data)
+        elif self._in_td:
+            if self._td_has_a:
+                self._tr_title.append(data)
+            else:
+                self._td_cur.append(data)
+
+
+def estonia_page_parser(html: bytes | None) -> ParsedPage:
+    """AKI parser. The root page fans out to year sub-pages via the
+    sidebar menu (out-links, pre-gated on the menu year); year pages
+    emit direct file links as results — prescriptions dated from the
+    title/href ``dd.mm.yyyy`` token (estonia:85-98), instructions
+    gated in-parser on their year cell (estonia:186-189, the title
+    carries no full date so the date_str stays empty like Portugal's
+    year gate)."""
+    if html and b"region-sidebar-first-inner" in html:
+        p = _EstoniaMenu()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.year_hrefs:
+            return ParsedPage(kind="listing", out_links=p.year_hrefs)
+    if html and (b"field-item" in html or b"<tbody" in html):
+        p = _EstoniaDocList()
+        p.feed(html.decode("utf-8", errors="replace"))
+        results = []
+        for title, href in p.p_rows:
+            iso = estonian_doc_date_iso(title, href)
+            if iso:                                  # estonia:97-98
+                results.append((title, iso, href))
+        for title, year, href in p.tr_rows:
+            if int(year) >= 2018:                    # estonia:186-189
+                results.append((title, "", href))
+        if results:
+            return ParsedPage(kind="listing", results=results)
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -2188,6 +2671,53 @@ PORTUGAL_SPEC = SourceSpec(
 )
 
 
+HUNGARY_SPEC = SourceSpec(
+    source_id="hungary-naih",
+    hosts=("www.naih.hu", "naih.hu"),
+    seed_urls=(  # hungary:25-30 — the five get_docs_* sections
+        "https://www.naih.hu/hatarozatok-vegzesek?start=0",
+        "https://www.naih.hu/ajanlasok",
+        "https://www.naih.hu/dontesek-adatvedelem-tajekoztatok-"
+        "koezlemenyek",
+        "https://www.naih.hu/adatvedelmi-allasfoglalasok?start=0",
+        "https://www.naih.hu/eves-beszamolok",
+    ),
+    doc_types=("Decisions", "Recommendations", "Notices", "Resolutions",
+               "Annual Reports"),
+    pagination="forward",
+    page_parser=hungary_page_parser,
+)
+
+POLAND_SPEC = SourceSpec(
+    source_id="poland-uodo",
+    hosts=("uodo.gov.pl", "www.uodo.gov.pl"),
+    seed_urls=(  # poland:33-41 — decisions + tutorials sections
+        "https://uodo.gov.pl/pl/p/decyzje",
+        "https://uodo.gov.pl/pl/p/poradniki",
+    ),
+    doc_types=("Decisions", "Tutorials"),
+    pagination="forward",                  # single page per section
+    page_parser=poland_page_parser,
+    needs_render=True,                     # poland:177-190 — tutorial
+    # detail pages load their article-content via script; the
+    # reference boots headless Chrome per document, the engine routes
+    # the host through the warm render pool
+)
+
+ESTONIA_SPEC = SourceSpec(
+    source_id="estonia-aki",
+    hosts=("www.aki.ee", "aki.ee"),
+    seed_urls=(  # estonia:51-52, 153-154 — both sections
+        "https://www.aki.ee/et/inspektsioon-kontaktid/menetlusotsused/"
+        "ettekirjutused",
+        "https://www.aki.ee/et/koik-juhised-loetelus",
+    ),
+    doc_types=("Prescriptions", "Instructions"),
+    pagination="forward",                  # menu fan-out, no pager
+    page_parser=estonia_page_parser,
+)
+
+
 def register_reference_specs() -> list[SourceSpec]:
     """Register the reference-parity specs (call before building the
     pipeline, or pass the returned specs via an explicit registry)."""
@@ -2197,4 +2727,6 @@ def register_reference_specs() -> list[SourceSpec]:
             register(FINLAND_SPEC), register(NETHERLANDS_SPEC),
             register(SPAIN_SPEC), register(IRELAND_SPEC),
             register(GREECE_SPEC), register(UK_SPEC),
-            register(SWEDEN_SPEC), register(PORTUGAL_SPEC)]
+            register(SWEDEN_SPEC), register(PORTUGAL_SPEC),
+            register(HUNGARY_SPEC), register(POLAND_SPEC),
+            register(ESTONIA_SPEC)]

@@ -1288,3 +1288,289 @@ def test_uk_sweden_portugal_parsers_standalone():
     assert pt.kind == "listing"
     assert pt.results == [("Deliberação X - 2020", "", "/d/x.pdf")]
     assert pt.out_links == ["?pgd=2"]
+
+
+# --------------------------------------------------------------------------
+# Hungary: phocadownload fileboxes, Hungarian dates, pagination-next
+# --------------------------------------------------------------------------
+
+HU = "https://www.naih.hu"
+
+
+def _hu_box(title, date, href):
+    return ('<div class="pd-filebox"><div class="pd-filenamebox">'
+            '<div class="pd-filename"><div class="pd-float">'
+            f'<a href="{href}">{title}</a></div></div></div>'
+            f'<div class="pd-fl-m">{date}</div></div>')
+
+
+def _hu_listing(boxes, next_href=None):
+    footer = ""
+    if next_href:
+        footer = ('<div class="sectiontablefooter"><ul>'
+                  '<li class="pagination-next">'
+                  f'<a class="hasTooltip pagenav" href="{next_href}">'
+                  "Köv.</a></li></ul></div>")
+    return ('<html><body><div class="pd-category">' + "".join(boxes)
+            + "</div>" + footer + "</body></html>").encode()
+
+
+def test_hungary_fileboxes_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the NAIH structure: filebox hrefs fetch as
+    binary documents, Hungarian textual dates window-filter at the
+    listing, pagenav pagination walks forward."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import HUNGARY_SPEC
+
+    p1 = _hu_listing([
+        _hu_box("NAIH-2021-1234 határozat", "2021. május 10.",
+                "files/h1.pdf"),
+        _hu_box("Régi határozat", "2016. március 1.", "files/old.pdf"),
+    ], next_href="/hatarozatok-vegzesek?start=20")
+    p2 = _hu_listing([
+        _hu_box("NAIH-2020-77 végzés", "2020-11-03", "files/h2.pdf"),
+    ])
+    pdf = b"%PDF-1.4 stub"
+    pages = _pages_table([
+        (f"{HU}/hatarozatok-vegzesek?start=0", p1),
+        (f"{HU}/hatarozatok-vegzesek?start=20", p2),
+        (f"{HU}/files/h1.pdf", pdf),
+        (f"{HU}/files/old.pdf", pdf),
+        (f"{HU}/files/h2.pdf", pdf),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{HU}/hatarozatok-vegzesek?start=0"]),
+        _robots(tmp_path, ["www.naih.hu"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: HUNGARY_SPEC
+                              for h in HUNGARY_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{HU}/hatarozatok-vegzesek?start=20" in fetched  # pagenav
+    # hungary:125-126 — document_url = host + '/' + href; the engine's
+    # url join against the query-only listing base lands the same place
+    assert f"{HU}/files/h1.pdf" in fetched
+    assert f"{HU}/files/h2.pdf" in fetched
+    assert f"{HU}/files/old.pdf" not in fetched
+    assert log.set_index("url").loc[f"{HU}/files/h1.pdf", "kind"] \
+        == "binary"
+
+
+# --------------------------------------------------------------------------
+# Poland: decision rows + artLevel0 tutorials, render-pool details
+# --------------------------------------------------------------------------
+
+PL = "https://uodo.gov.pl"
+
+
+def _pl_decisions(rows):
+    divs = "".join(
+        f'<div class="decision"><div class="float-sm-right">{date}</div>'
+        f'<a href="{href}">{title}</a></div>'
+        for title, date, href in rows)
+    return (f'<html><body><div id="decisions-container">{divs}</div>'
+            "</body></html>").encode()
+
+
+def _pl_tutorials(rows):
+    divs = "".join(
+        f'<div class="artLevel0"><a href="{href}">{title}</a></div>'
+        for title, href in rows)
+    return (f'<html><body><div class="body-content">{divs}</div>'
+            "</body></html>").encode()
+
+
+def _pl_doc(title, date, body="treść decyzji", rendered=False):
+    inner = (f"<h1>{title}</h1>"
+             f'<span class="article-metric-button">{date}</span>'
+             f'<div id="article-content"><p>{body}</p></div>')
+    if not rendered:
+        return f"<html><body>{inner}</body></html>".encode()
+    # tutorial detail: content arrives via script (poland:177-190)
+    return ('<html><body><div id="shell">loading…</div>'
+            f'<script type="application/x-fixture-ajax">{inner}</script>'
+            "</body></html>").encode()
+
+
+def test_poland_decisions_and_rendered_tutorials(ray_session, tmp_path):
+    """Real-engine crawl of the UODO structure: decision rows carry
+    Polish genitive dates (window filter at the listing); tutorial
+    detail pages only expose article-content after the render pool
+    splices the scripted payload (the reference's Chrome-per-document,
+    poland:177-190), and their article-metric-button date gates the
+    document at the detail."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import POLAND_SPEC
+
+    dec = _pl_decisions([
+        ("Decyzja ZSPR.421.2.2019", "28 maja 2019", "/pl/d1"),
+        ("Stara decyzja", "10 stycznia 2017", "/pl/old"),
+    ])
+    tut = _pl_tutorials([("Poradnik RODO", "/pl/t1")])
+    pages = _pages_table([
+        (f"{PL}/pl/p/decyzje", dec),
+        (f"{PL}/pl/p/poradniki", tut),
+        (f"{PL}/pl/d1", _pl_doc("Decyzja ZSPR.421.2.2019",
+                                "28 maja 2019")),
+        (f"{PL}/pl/old", _pl_doc("Stara decyzja", "10 stycznia 2017")),
+        (f"{PL}/pl/t1", _pl_doc("Poradnik RODO", "3 czerwca 2020",
+                                rendered=True)),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{PL}/pl/p/decyzje", f"{PL}/pl/p/poradniki"]),
+        _robots(tmp_path, ["uodo.gov.pl"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    render_pool=2,
+                    registry={h: POLAND_SPEC for h in POLAND_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{PL}/pl/old" not in fetched          # Polish date filtered
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Decyzja ZSPR.421.2.2019", "Poradnik RODO"}
+    assert str(docs.loc["Decyzja ZSPR.421.2.2019", "release_date"]) \
+        == "2019-05-28"
+    # tutorial date came from the RENDERED article-metric-button
+    assert str(docs.loc["Poradnik RODO", "release_date"]) == "2020-06-03"
+
+
+# --------------------------------------------------------------------------
+# Estonia: sidebar year-menu fan-out + p/a and tbody document lists
+# --------------------------------------------------------------------------
+
+EE = "https://www.aki.ee"
+
+
+def _ee_root(year_links):
+    lis = "".join(
+        f'<li><a href="{href}">{text}</a></li>'
+        for text, href in year_links)
+    return ('<html><body><div class="region-sidebar-first-inner">'
+            f'<ul class="menu">{lis}</ul></div></body></html>').encode()
+
+
+def _ee_year_page(doc_links):
+    ps = "".join(
+        f'<p><a href="{href}">{title}</a></p>'
+        for title, href in doc_links)
+    return ('<html><body><div class="region-content-inner">'
+            '<div class="block-system">'
+            f'<div class="field-item even">{ps}</div>'
+            "</div></div></body></html>").encode()
+
+
+def _ee_instructions(rows):
+    trs = ""
+    for cells in rows:
+        tds = ""
+        for c in cells:
+            if isinstance(c, tuple):
+                tds += f'<td><a href="{c[1]}">{c[0]}</a></td>'
+            else:
+                tds += f"<td>{c}</td>"
+        trs += f"<tr>{tds}</tr>"
+    return ('<html><body><div class="block-system-main">'
+            '<div class="content clearfix">'
+            '<div class="field-name-body">'
+            f'<div class="field-item even"><table><tbody>{trs}</tbody>'
+            "</table></div></div></div></body></html>").encode()
+
+
+def test_estonia_menu_fanout_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the AKI structure: the sidebar menu fans
+    out ONLY to >=2018 year pages, prescriptions date from the
+    dd.mm.yyyy title token (href fallback), and the instructions
+    table gates on its year cell with the cooperation sentinel row
+    skipped."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import ESTONIA_SPEC
+
+    root = _ee_root([
+        ("Ettekirjutused 2021", "/et/menetlusotsused/2021"),
+        ("Ettekirjutused 2017", "/et/menetlusotsused/2017"),
+    ])
+    y2021 = _ee_year_page([
+        ("Ettekirjutus 12.05.2021 nr 2.1-6/21/11", "/files/e1.pdf"),
+        ("Ettekirjutus hoiatus nr 7", "/files/e2_03.06.2021_nr7.pdf"),
+        ("Dateerimata dokument", "/files/nodate.pdf"),
+    ])
+    instr = _ee_instructions([
+        [("Juhend isikuandmete töötlejale", "/files/j1.pdf"), "2020"],
+        [("Vana juhend", "/files/jold.pdf"), "2016"],
+        ["Teiste asutustega koostöös loodud juhendid"],
+    ])
+    pdf = b"%PDF-1.4 stub"
+    pages = _pages_table([
+        (f"{EE}/et/ettekirjutused", root),
+        (f"{EE}/et/menetlusotsused/2021", y2021),
+        (f"{EE}/et/koik-juhised-loetelus", instr),
+        (f"{EE}/files/e1.pdf", pdf),
+        (f"{EE}/files/e2_03.06.2021_nr7.pdf", pdf),
+        (f"{EE}/files/nodate.pdf", pdf),
+        (f"{EE}/files/j1.pdf", pdf), (f"{EE}/files/jold.pdf", pdf),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{EE}/et/ettekirjutused",
+                          f"{EE}/et/koik-juhised-loetelus"]),
+        _robots(tmp_path, ["www.aki.ee"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: ESTONIA_SPEC
+                              for h in ESTONIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{EE}/et/menetlusotsused/2021" in fetched   # menu fan-out
+    assert f"{EE}/et/menetlusotsused/2017" not in fetched  # year gate
+    assert f"{EE}/files/e1.pdf" in fetched              # title date
+    assert f"{EE}/files/e2_03.06.2021_nr7.pdf" in fetched  # href date
+    assert f"{EE}/files/nodate.pdf" not in fetched      # estonia:97-98
+    assert f"{EE}/files/j1.pdf" in fetched              # year cell 2020
+    assert f"{EE}/files/jold.pdf" not in fetched        # year cell 2016
+
+
+def test_hungary_poland_estonia_parsers_standalone():
+    from crawler_ray.sources.specs import (estonia_page_parser,
+                                           estonian_doc_date_iso,
+                                           hungarian_date_iso,
+                                           hungary_page_parser,
+                                           poland_page_parser,
+                                           polish_date_iso)
+
+    assert hungarian_date_iso("2021. május 10.") == "2021-05-10"
+    assert hungarian_date_iso("2020-11-03") == "2020-11-03"
+    hu = hungary_page_parser(_hu_listing(
+        [_hu_box("T", "2021. május 10.", "files/x.pdf")],
+        next_href="/p?start=20"))
+    assert hu.kind == "listing"
+    assert hu.results == [("T", "2021-05-10", "files/x.pdf")]
+    assert hu.next_href == "/p?start=20"
+
+    assert polish_date_iso("28 maja 2019") == "2019-05-28"
+    assert polish_date_iso("3 czerwca 2020") == "2020-06-03"
+    pl = poland_page_parser(_pl_decisions(
+        [("D1", "28 maja 2019", "/pl/d1")]))
+    assert pl.kind == "listing"
+    assert pl.results == [("D1", "2019-05-28", "/pl/d1")]
+    pld = poland_page_parser(_pl_doc("D1", "28 maja 2019"))
+    assert pld.kind == "detail"
+    assert pld.text.split("\n")[:2] == ["D1", "Released 2019-05-28"]
+
+    assert estonian_doc_date_iso(
+        "Ettekirjutus 12.05.2021 nr 2", "/f/x.pdf") == "2021-05-12"
+    assert estonian_doc_date_iso(
+        "Ettekirjutus hoiatus nr 7", "/f/e2_03.06.2021_nr7.pdf") \
+        == "2021-06-03"
+    assert estonian_doc_date_iso("Dateerimata", "/f/n.pdf") is None
+    ee = estonia_page_parser(_ee_root(
+        [("E 2021", "/y/2021"), ("E 2016", "/y/2016")]))
+    assert ee.kind == "listing" and ee.out_links == ["/y/2021"]
+    eey = estonia_page_parser(_ee_instructions(
+        [[("J", "/f/j.pdf"), "2020"]]))
+    assert eey.results == [("J", "", "/f/j.pdf")]
