@@ -29,6 +29,20 @@ over their real DOM shapes:
   the menu-year gate, ``field-item even`` prescription lists dated
   from the ``dd.mm.yyyy`` title/href token, and the instructions
   table with its year cells and cooperation-section sentinel.
+- **Croatia / AZOP** (croatia:27-125): WordPress ``article.post``
+  rows with Croatian genitive dates, ``wp-pagenavi`` enumerated
+  pagination, and Chrome-per-document detail posts replaced by the
+  warm render pool.
+- **Romania / ANSPDCP** (romania:25-120): the FLAT ``<p>`` sequence
+  of ``div#rectangle_scroll`` scanned positionally (date para →
+  title para → first link within four paras), detail pages re-using
+  the same container as the document body.
+- **Cyprus** (cyprus:26-130): Lotus-NSF ``li.photos`` rows with
+  ``dd/mm/yyyy`` ``span.date``; two single-page NSF views.
+- **Luxembourg / CNPD** (luxembourg:29-185): ``ol.search-results``
+  direct-child rows with ISO ``time[datetime]`` dates and the year
+  gate, ``ol.pagination`` enumerated pager, detail ``aside.page-more``
+  PDFs surfaced as frontier links.
 
 - **Ireland / DPC** (ireland:29-210): ordinal English dates
   ("21st May 2021" → suffix stripped, ``%d %B %Y``), Drupal
@@ -121,15 +135,18 @@ __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "ireland_page_parser", "greece_page_parser",
            "uk_page_parser", "sweden_page_parser", "portugal_page_parser",
            "hungary_page_parser", "poland_page_parser",
-           "estonia_page_parser",
+           "estonia_page_parser", "croatia_page_parser",
+           "romania_page_parser", "cyprus_page_parser",
+           "luxembourg_page_parser",
            "french_date_iso", "dutch_date_iso", "english_date_iso",
            "swedish_date_iso", "hungarian_date_iso", "polish_date_iso",
-           "estonian_doc_date_iso",
+           "estonian_doc_date_iso", "croatian_date_iso",
            "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC", "DENMARK_SPEC",
            "FRANCE_SPEC", "FRANCE_API", "BELGIUM_SPEC", "FINLAND_SPEC",
            "NETHERLANDS_SPEC", "SPAIN_SPEC", "IRELAND_SPEC", "GREECE_SPEC",
            "UK_SPEC", "SWEDEN_SPEC", "PORTUGAL_SPEC", "HUNGARY_SPEC",
-           "POLAND_SPEC", "ESTONIA_SPEC",
+           "POLAND_SPEC", "ESTONIA_SPEC", "CROATIA_SPEC", "ROMANIA_SPEC",
+           "CYPRUS_SPEC", "LUXEMBOURG_SPEC",
            "register_reference_specs"]
 
 
@@ -2486,6 +2503,565 @@ def estonia_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+# --------------------------------------------------------------------------
+# Croatia / AZOP: WordPress article.post rows + wp-pagenavi, rendered details
+# --------------------------------------------------------------------------
+
+_HR_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["siječnja", "veljače", "ožujka", "travnja", "svibnja", "lipnja",
+     "srpnja", "kolovoza", "rujna", "listopada", "studenoga",
+     "prosinca"])}
+
+
+def croatian_date_iso(s: str | None) -> str | None:
+    """AZOP post dates → ISO (croatia:90-92, dateparser with ``hr``):
+    genitive textual ``D. mjeseca GGGG.`` plus numeric
+    ``dd.mm.yyyy``."""
+    s = (s or "").strip().lower()
+    if not s:
+        return None
+    m = re.search(r"(\d{1,2})\.?\s+([a-zčćđšž]+)\s+(\d{4})", s)
+    if m and m.group(2) in _HR_MONTHS:
+        return (f"{int(m.group(3)):04d}-{_HR_MONTHS[m.group(2)]:02d}-"
+                f"{int(m.group(1)):02d}")
+    m = re.search(r"(\d{1,2})\.(\d{1,2})\.(\d{4})", s)
+    if m:
+        return (f"{int(m.group(3)):04d}-{int(m.group(2)):02d}-"
+                f"{int(m.group(1)):02d}")
+    return None
+
+
+class _CroatiaListing(HTMLParser):
+    """azop.hr novosti scanner (croatia:86-105): rows are
+    ``article.post`` elements with the date in ``p.post-meta >
+    span.published`` and the title/detail link in ``h2.entry-title >
+    a``. Pagination (croatia:41-47): ``div.wp-pagenavi`` → ``a.page``
+    links (every page enumerated; seen-dedup collapses repeats)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        self._post_depth: int | None = None
+        self._in_pub = self._in_title = self._in_title_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_date: list[str] = []
+        self._in_pagenavi = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "article" and "post" in cls and self._post_depth is None:
+            self._post_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._post_depth is not None:
+            if tag == "span" and "published" in cls:
+                self._in_pub = True                    # croatia:89-90
+            elif tag == "h2" and "entry-title" in cls:
+                self._in_title = True                  # croatia:95-96
+            elif tag == "a" and self._in_title and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # croatia:99-105
+                self._in_title_a = True
+        if tag == "div" and "wp-pagenavi" in cls:
+            self._in_pagenavi = True                   # croatia:42
+        elif tag == "a" and self._in_pagenavi and "page" in cls:
+            href = _attr(attrs, "href")
+            if href:
+                self.page_hrefs.append(href)           # croatia:44-47
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_title_a = False
+        elif tag == "span":
+            self._in_pub = False
+        elif tag == "h2":
+            self._in_title = False
+        elif tag == "div" and self._in_pagenavi:
+            self._in_pagenavi = False
+        elif tag == "article" and self._post_depth == self._depth:
+            title = " ".join("".join(self._row_title).split())
+            iso = croatian_date_iso(
+                " ".join("".join(self._row_date).split())) or ""
+            if title and self._row_href:
+                self.results.append((title, iso, self._row_href))
+            self._post_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_title_a:
+            self._row_title.append(data)
+        elif self._in_pub:
+            self._row_date.append(data)
+
+
+class _CroatiaDetail(HTMLParser):
+    """Post-page scanner (croatia:110-119): the body is the Divi
+    ``div.et_pb_post_content`` — which the reference reads off a
+    HEADLESS CHROME (croatia:110-115), hence ``needs_render=True`` on
+    the spec; ``h1`` and ``span.published`` mirror the listing row."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.date_text: list[str] = []
+        self.body_lines: list[str] = []
+        self._depth = 0
+        self._in_h1 = self._in_pub = False
+        self._body_depth: int | None = None
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif tag == "span" and "published" in cls:
+            self._in_pub = True
+        elif tag == "div" and "et_pb_post_content" in cls \
+                and self._body_depth is None:
+            self._body_depth = self._depth             # croatia:117
+        elif self._body_depth is not None and tag in (
+                "h2", "h3", "p", "li", "div", "br"):
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag == "span":
+            self._in_pub = False
+        elif tag in ("h2", "h3", "p", "li"):
+            self._flush()
+        elif tag == "div" and self._body_depth == self._depth:
+            self._flush()
+            self._body_depth = None
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._in_pub and self._body_depth is None:
+            self.date_text.append(data)
+        elif self._body_depth is not None:
+            self._line.append(data)
+
+
+def croatia_page_parser(html: bytes | None) -> ParsedPage:
+    """AZOP parser. Croatian listing dates normalize to ISO for the
+    window filter; detail posts (rendered through the warm pool — the
+    reference boots Chrome per document, croatia:110-115) emit their
+    ``et_pb_post_content`` text as the document."""
+    if html and b"<article" in html and b"entry-title" in html:
+        p = _CroatiaListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+    if html and b"et_pb_post_content" in html:
+        p = _CroatiaDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title and p.body_lines:
+            iso = croatian_date_iso(
+                " ".join("".join(p.date_text).split())) or ""
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n" + "\n".join(p.body_lines))
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Romania / ANSPDCP: flat <p> sequence scanned positionally
+# --------------------------------------------------------------------------
+
+class _RomaniaScroll(HTMLParser):
+    """dataprotection.ro ``div#rectangle_scroll`` collector: the page
+    is a FLAT ``<p>`` sequence with no row containers — the reference
+    scans it positionally (romania:64-99): a ``dd/mm/yyyy`` date
+    paragraph starts a record, the NEXT paragraph is the title, and
+    the first link within the following four paragraphs is the
+    document href. This class only collects (text, first-href) pairs;
+    the positional walk happens in :func:`romania_page_parser`."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.paras: list[tuple[str, str | None]] = []
+        self._depth = 0
+        self._scroll_depth: int | None = None
+        self._in_p = False
+        self._p_text: list[str] = []
+        self._p_href: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        if _attr(attrs, "id") == "rectangle_scroll" \
+                and self._scroll_depth is None:
+            self._scroll_depth = self._depth           # romania:62
+        elif self._scroll_depth is not None:
+            if tag == "p":
+                self._in_p = True
+                self._p_text, self._p_href = [], None
+            elif tag == "a" and self._in_p and self._p_href is None:
+                self._p_href = _attr(attrs, "href")    # romania:91-99
+
+    def handle_endtag(self, tag):
+        if tag == "p" and self._in_p:
+            self._in_p = False
+            self.paras.append(
+                (" ".join("".join(self._p_text).split()), self._p_href))
+        elif self._scroll_depth == self._depth:
+            self._scroll_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_p:
+            self._p_text.append(data)
+
+
+_RO_DATE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$")
+
+
+def romania_page_parser(html: bytes | None) -> ParsedPage:
+    """ANSPDCP parser. Listing pages (the allnews view, romania:27-28,
+    single page): walk the flat paragraph sequence — date para →
+    title = next para → href = first link within the next four paras
+    (romania:64-99). Detail pages re-use ``rectangle_scroll`` as the
+    document body (romania:116-119) with the first para as title and
+    the date para preceding the body."""
+    if html and b"rectangle_scroll" in html:
+        p = _RomaniaScroll()
+        p.feed(html.decode("utf-8", errors="replace"))
+        paras = p.paras
+        results = []
+        for i, (text, _h) in enumerate(paras):
+            m = _RO_DATE.match(text)
+            if not m or i + 1 >= len(paras):
+                continue
+            title = paras[i + 1][0]
+            href = None
+            for j in range(i, min(i + 5, len(paras))):   # romania:91-97
+                if paras[j][1] is not None:
+                    href = paras[j][1]
+                    break
+            if title and href:
+                results.append((title, text, href))     # dd/mm/yyyy str
+        if results:
+            return ParsedPage(kind="listing", results=results)
+        # detail: rectangle_scroll as document body (romania:116-119)
+        lines = [t for t, _ in paras if t]
+        if lines:
+            iso = ""
+            for t, _ in paras:
+                m = _RO_DATE.match(t)
+                if m:
+                    iso = (f"{int(m.group(3)):04d}-{int(m.group(2)):02d}-"
+                           f"{int(m.group(1)):02d}")
+                    break
+            return ParsedPage(
+                kind="detail",
+                text=f"{lines[0]}\nReleased {iso}\n"
+                     + "\n".join(lines[1:]))
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Cyprus: NSF content-block with li.photos rows
+# --------------------------------------------------------------------------
+
+class _CyprusListing(HTMLParser):
+    """dataprotection.gov.cy scanner (cyprus:74-99): rows are
+    ``li.photos`` under ``div.content-block``, each with a
+    ``span.date`` (``dd/mm/yyyy``) and an ``<a>`` title/detail link.
+    Both sections (Decisions, Annual Reports — cyprus:29-31) are
+    single NSF views with no pagination."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self._depth = 0
+        self._in_block = False
+        self._li_depth: int | None = None
+        self._in_date = self._in_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_date: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "content-block" in cls:
+            self._in_block = True
+        elif tag == "li" and "photos" in cls and self._in_block \
+                and self._li_depth is None:
+            self._li_depth = self._depth
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._li_depth is not None:
+            if tag == "span" and "date" in cls:
+                self._in_date = True                   # cyprus:78-82
+            elif tag == "a" and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # cyprus:86-99
+                self._in_a = True
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "span":
+            self._in_date = False
+        elif tag == "li" and self._li_depth == self._depth:
+            title = " ".join("".join(self._row_title).split())
+            date = " ".join("".join(self._row_date).split())
+            if title and self._row_href:
+                self.results.append((title, date, self._row_href))
+            self._li_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_a:
+            self._row_title.append(data)
+        elif self._in_date:
+            self._row_date.append(data)
+
+
+class _CyprusDetail(HTMLParser):
+    """Decision-page scanner (cyprus:112-117): the document text is
+    the detail page's own ``div.content-block``; its ``h1`` and
+    ``span.date`` mirror the listing row."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.date_text: list[str] = []
+        self.body_lines: list[str] = []
+        self._depth = 0
+        self._in_h1 = self._in_date = False
+        self._block_depth: int | None = None
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif tag == "span" and "date" in cls:
+            self._in_date = True
+        elif tag == "div" and "content-block" in cls \
+                and self._block_depth is None:
+            self._block_depth = self._depth
+        elif self._block_depth is not None and tag in (
+                "h2", "h3", "p", "li", "div", "br"):
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag == "span":
+            self._in_date = False
+        elif tag in ("h2", "h3", "p", "li"):
+            self._flush()
+        elif tag == "div" and self._block_depth == self._depth:
+            self._flush()
+            self._block_depth = None
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._in_date:
+            self.date_text.append(data)
+        if self._block_depth is not None and not self._in_h1:
+            self._line.append(data)
+
+
+def cyprus_page_parser(html: bytes | None) -> ParsedPage:
+    """Cyprus parser — ``li.photos`` rows mark listings; detail pages
+    re-use ``content-block`` as the document body. ``dd/mm/yyyy``
+    dates pass through (the engine's multi-format parser handles
+    them, cyprus:82)."""
+    if html and b"photos" in html and b"content-block" in html:
+        p = _CyprusListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results:
+            return ParsedPage(kind="listing", results=p.results)
+    if html and b"content-block" in html:
+        p = _CyprusDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title and p.body_lines:
+            from crawler_ray.functions.dates import parse_date_multi
+            d = parse_date_multi(
+                " ".join("".join(p.date_text).split()))
+            iso = d.isoformat() if d else ""
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n" + "\n".join(p.body_lines))
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Luxembourg / CNPD: search-results ol + time[datetime] + aside PDFs
+# --------------------------------------------------------------------------
+
+class _LuxembourgListing(HTMLParser):
+    """cnpd.public.lu search scanner (luxembourg:93-135): rows are the
+    DIRECT ``li`` children of ``ol.search-results``, each with a
+    ``time.article-published`` whose ``datetime`` attribute is the
+    ISO date (years < 2018 skipped, luxembourg:103-109) and an
+    ``h2.article-title > a`` title/detail link. Pagination
+    (luxembourg:41-54): ``ol.pagination`` → ``li.pagination-page``
+    links, every page enumerated."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        self._ol_depth: int | None = None
+        self._li_depth: int | None = None
+        self._row_date: str | None = None
+        self._in_title = self._in_title_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._in_pager = self._in_page_li = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "ol" and "search-results" in cls:
+            self._ol_depth = self._depth
+        elif tag == "li" and self._ol_depth is not None \
+                and self._depth == self._ol_depth + 1:
+            self._li_depth = self._depth               # direct children
+            self._row_date, self._row_href = None, None
+            self._row_title = []
+        elif self._li_depth is not None:
+            if tag == "time" and "article-published" in cls:
+                self._row_date = _attr(attrs, "datetime")  # lux:101-103
+            elif tag == "h2" and "article-title" in cls:
+                self._in_title = True                  # lux:120-122
+            elif tag == "a" and self._in_title and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # lux:128-135
+                self._in_title_a = True
+        if tag == "ol" and "pagination" in cls:
+            self._in_pager = True                      # lux:41
+        elif tag == "li" and "pagination-page" in cls and self._in_pager:
+            self._in_page_li = True
+        elif tag == "a" and self._in_page_li:
+            href = _attr(attrs, "href")
+            if href:
+                self.page_hrefs.append(href)           # lux:43-54
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_title_a = False
+        elif tag == "h2":
+            self._in_title = False
+        elif tag == "li":
+            if self._li_depth == self._depth:
+                title = " ".join("".join(self._row_title).split())
+                d = self._row_date or ""
+                # luxembourg:106-109 — the year gate
+                if title and self._row_href and d[:4].isdigit() \
+                        and int(d[:4]) >= 2018:
+                    self.results.append((title, d, self._row_href))
+                self._li_depth = None
+            self._in_page_li = False
+        elif tag == "ol":
+            if self._ol_depth == self._depth:
+                self._ol_depth = None
+            self._in_pager = False
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_title_a:
+            self._row_title.append(data)
+
+
+class _LuxembourgDetail(HTMLParser):
+    """Article scanner (luxembourg:148-160): the document payload is
+    the first ``.pdf`` link inside ``aside.page-more``, surfaced as a
+    frontier out-link; ``h1`` and ``time[datetime]`` mirror the
+    listing row; body paragraphs are captured as summary lines."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.date_iso: str | None = None
+        self.pdf_href: str | None = None
+        self.body_lines: list[str] = []
+        self._in_h1 = self._in_aside = self._in_p = False
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif tag == "time" and self.date_iso is None:
+            self.date_iso = _attr(attrs, "datetime")
+        elif tag == "aside" and "page-more" in cls:
+            self._in_aside = True                      # lux:148-150
+        elif tag == "a" and self._in_aside and self.pdf_href is None:
+            href = _attr(attrs, "href")
+            if href and href.endswith(".pdf"):
+                self.pdf_href = href                   # lux:151-160
+        elif tag == "p":
+            self._in_p = True
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag == "aside":
+            self._in_aside = False
+        elif tag == "p":
+            self._in_p = False
+            line = " ".join("".join(self._line).split())
+            if line:
+                self.body_lines.append(line)
+            self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._in_p:
+            self._line.append(data)
+
+
+def luxembourg_page_parser(html: bytes | None) -> ParsedPage:
+    """CNPD (LU) parser — listing → article → aside PDF: the article
+    emits its own text as the document AND surfaces the PDF as a
+    frontier link (the Greece two-hop pattern), fetched as binary by
+    the politeness-governed stage."""
+    if html and b"search-results" in html:
+        p = _LuxembourgListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+    if html and b"page-more" in html:
+        p = _LuxembourgDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title:
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {p.date_iso or ''}\n"
+                     + "\n".join(p.body_lines),
+                out_links=[p.pdf_href] if p.pdf_href else [])
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -2718,6 +3294,52 @@ ESTONIA_SPEC = SourceSpec(
 )
 
 
+CROATIA_SPEC = SourceSpec(
+    source_id="croatia-azop",
+    hosts=("azop.hr", "www.azop.hr"),
+    seed_urls=("https://azop.hr/novosti",),        # croatia:29-30
+    doc_types=("Decisions",),
+    pagination="forward",
+    page_parser=croatia_page_parser,
+    needs_render=True,                 # croatia:110-115 — detail posts
+    # are read off headless Chrome; the engine renders on the warm pool
+)
+
+ROMANIA_SPEC = SourceSpec(
+    source_id="romania-anspdcp",
+    hosts=("www.dataprotection.ro", "dataprotection.ro"),
+    seed_urls=(  # romania:27-28 — the single allnews view
+        "https://www.dataprotection.ro/?page=allnews&lang=ro",),
+    doc_types=("Decisions",),
+    pagination="forward",              # single page, no pager
+    page_parser=romania_page_parser,
+)
+
+CYPRUS_SPEC = SourceSpec(
+    source_id="cyprus-dpc",
+    hosts=("www.dataprotection.gov.cy", "dataprotection.gov.cy"),
+    seed_urls=(  # cyprus:29-31 — both NSF views
+        "http://www.dataprotection.gov.cy/DATAPROTECTION/"
+        "DATAPROTECTION.NSF/dp06/dp06?opendocument",
+        "http://www.dataprotection.gov.cy/dataprotection/"
+        "dataprotection.nsf/reports_gr/reports_gr?opendocument",
+    ),
+    doc_types=("Decisions", "Annual Reports"),
+    pagination="forward",              # single views, no pager
+    page_parser=cyprus_page_parser,
+)
+
+LUXEMBOURG_SPEC = SourceSpec(
+    source_id="luxembourg-cnpd",
+    hosts=("cnpd.public.lu", "www.cnpd.public.lu"),
+    seed_urls=(  # luxembourg:31-32
+        "https://cnpd.public.lu/fr/decisions-avis.html?b=0",),
+    doc_types=("Opinions",),
+    pagination="forward",
+    page_parser=luxembourg_page_parser,
+)
+
+
 def register_reference_specs() -> list[SourceSpec]:
     """Register the reference-parity specs (call before building the
     pipeline, or pass the returned specs via an explicit registry)."""
@@ -2729,4 +3351,6 @@ def register_reference_specs() -> list[SourceSpec]:
             register(GREECE_SPEC), register(UK_SPEC),
             register(SWEDEN_SPEC), register(PORTUGAL_SPEC),
             register(HUNGARY_SPEC), register(POLAND_SPEC),
-            register(ESTONIA_SPEC)]
+            register(ESTONIA_SPEC), register(CROATIA_SPEC),
+            register(ROMANIA_SPEC), register(CYPRUS_SPEC),
+            register(LUXEMBOURG_SPEC)]

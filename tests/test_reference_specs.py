@@ -1574,3 +1574,312 @@ def test_hungary_poland_estonia_parsers_standalone():
     eey = estonia_page_parser(_ee_instructions(
         [[("J", "/f/j.pdf"), "2020"]]))
     assert eey.results == [("J", "", "/f/j.pdf")]
+
+
+# --------------------------------------------------------------------------
+# Croatia: WordPress posts + wp-pagenavi, rendered Divi details
+# --------------------------------------------------------------------------
+
+HR = "https://azop.hr"
+
+
+def _hr_post(title, date, href):
+    return ('<article class="post">'
+            f'<p class="post-meta"><span class="published">{date}</span>'
+            f'</p><h2 class="entry-title"><a href="{href}">{title}</a>'
+            "</h2></article>")
+
+
+def _hr_listing(posts, page_hrefs=()):
+    navi = ""
+    if page_hrefs:
+        navi = ('<div class="wp-pagenavi">' + "".join(
+            f'<a class="page" href="{h}">{i + 1}</a>'
+            for i, h in enumerate(page_hrefs)) + "</div>")
+    return ("<html><body>" + "".join(posts) + navi
+            + "</body></html>").encode()
+
+
+def _hr_doc(title, date, body="tekst odluke"):
+    inner = (f"<h1>{title}</h1>"
+             f'<span class="published">{date}</span>'
+             f'<div class="et_pb_post_content"><p>{body}</p></div>')
+    # detail content arrives via script (croatia:110-115 Chrome)
+    return ('<html><body><div id="shell">loading…</div>'
+            f'<script type="application/x-fixture-ajax">{inner}</script>'
+            "</body></html>").encode()
+
+
+def test_croatia_rendered_posts_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the AZOP structure: wp-pagenavi pages all
+    enqueue, Croatian genitive dates window-filter at the listing,
+    and Divi detail posts parse only after the render pool splices
+    the scripted payload (croatia:110-115)."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import CROATIA_SPEC
+
+    p1 = _hr_listing([
+        _hr_post("Odluka o kazni", "15. svibnja 2021.", "/hr/o1"),
+        _hr_post("Stara odluka", "10. siječnja 2017.", "/hr/old"),
+    ], page_hrefs=[f"{HR}/novosti", f"{HR}/novosti/page/2"])
+    p2 = _hr_listing([
+        _hr_post("Odluka druga", "3.6.2020", "/hr/o2"),
+    ])
+    pages = _pages_table([
+        (f"{HR}/novosti", p1),
+        (f"{HR}/novosti/page/2", p2),
+        (f"{HR}/hr/o1", _hr_doc("Odluka o kazni", "15. svibnja 2021.")),
+        (f"{HR}/hr/old", _hr_doc("Stara odluka", "10. siječnja 2017.")),
+        (f"{HR}/hr/o2", _hr_doc("Odluka druga", "3.6.2020")),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{HR}/novosti"]),
+        _robots(tmp_path, ["azop.hr"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    render_pool=2,
+                    registry={h: CROATIA_SPEC
+                              for h in CROATIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{HR}/novosti/page/2" in fetched      # wp-pagenavi walked
+    assert f"{HR}/hr/old" not in fetched          # Croatian date filtered
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Odluka o kazni", "Odluka druga"}
+    assert str(docs.loc["Odluka o kazni", "release_date"]) == "2021-05-15"
+
+
+# --------------------------------------------------------------------------
+# Romania: flat <p> sequence scanned positionally
+# --------------------------------------------------------------------------
+
+RO = "https://www.dataprotection.ro"
+
+
+def _ro_scroll(paras):
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    return (f'<html><body><div id="rectangle_scroll">{body}</div>'
+            "</body></html>").encode()
+
+
+def test_romania_flat_paragraphs_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the ANSPDCP structure: the flat paragraph
+    sequence yields (date, title, link-within-4) records
+    (romania:64-99), pre-GDPR dates filter at the listing, detail
+    pages re-use rectangle_scroll as the document body."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import ROMANIA_SPEC
+
+    listing = _ro_scroll([
+        "Comunicate de presă",                       # header para
+        "28/05/2021",
+        "Amendă pentru operator",
+        'detalii <a href="/n1">aici</a>',
+        "10/01/2017",
+        "Comunicat vechi",
+        'detalii <a href="/old">aici</a>',
+    ])
+    d1 = _ro_scroll(["Amendă pentru operator", "28/05/2021",
+                     "textul comunicatului de presă"])
+    old = _ro_scroll(["Comunicat vechi", "10/01/2017", "text vechi"])
+    pages = _pages_table([
+        (f"{RO}/?page=allnews&lang=ro", listing),
+        (f"{RO}/n1", d1), (f"{RO}/old", old),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{RO}/?page=allnews&lang=ro"]),
+        _robots(tmp_path, ["www.dataprotection.ro"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: ROMANIA_SPEC
+                              for h in ROMANIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{RO}/n1" in fetched
+    assert f"{RO}/old" not in fetched             # dd/mm/yyyy filtered
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Amendă pentru operator"}
+    assert str(docs.loc["Amendă pentru operator", "release_date"]) \
+        == "2021-05-28"
+
+
+# --------------------------------------------------------------------------
+# Cyprus: NSF li.photos rows, content-block details
+# --------------------------------------------------------------------------
+
+CY = "http://www.dataprotection.gov.cy"
+
+
+def _cy_listing(rows):
+    lis = "".join(
+        f'<li class="photos"><span class="date">{date}</span>'
+        f'<a href="{href}">{title}</a></li>'
+        for title, date, href in rows)
+    return (f'<html><body><div class="content-block"><ul>{lis}</ul>'
+            "</div></body></html>").encode()
+
+
+def _cy_doc(title, date, body="κείμενο απόφασης"):
+    return (f"<html><body><h1>{title}</h1>"
+            f'<div class="content-block">'
+            f'<span class="date">{date}</span><p>{body}</p>'
+            "</div></body></html>").encode()
+
+
+def test_cyprus_nsf_listing_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the Cyprus structure: li.photos rows with
+    dd/mm/yyyy dates window-filter at the listing; detail pages emit
+    their content-block as the document."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import CYPRUS_SPEC
+
+    listing = _cy_listing([
+        ("Απόφαση 17/2021", "16/06/2021", "/dp/a17"),
+        ("Παλιά απόφαση", "01/02/2017", "/dp/old"),
+    ])
+    pages = _pages_table([
+        (f"{CY}/DATAPROTECTION/DATAPROTECTION.NSF/dp06/dp06?opendocument",
+         listing),
+        (f"{CY}/dp/a17", _cy_doc("Απόφαση 17/2021", "16/06/2021")),
+        (f"{CY}/dp/old", _cy_doc("Παλιά απόφαση", "01/02/2017")),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{CY}/DATAPROTECTION/DATAPROTECTION.NSF/dp06/"
+                          "dp06?opendocument"]),
+        _robots(tmp_path, ["www.dataprotection.gov.cy"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: CYPRUS_SPEC for h in CYPRUS_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{CY}/dp/a17" in fetched
+    assert f"{CY}/dp/old" not in fetched
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Απόφαση 17/2021"}
+    assert str(docs.loc["Απόφαση 17/2021", "release_date"]) == "2021-06-16"
+
+
+# --------------------------------------------------------------------------
+# Luxembourg: search-results rows, time[datetime], aside-pdf two-hop
+# --------------------------------------------------------------------------
+
+LU = "https://cnpd.public.lu"
+
+
+def _lu_listing(rows, page_hrefs=()):
+    lis = "".join(
+        f'<li><time class="article-published" datetime="{d}">{d}</time>'
+        f'<h2 class="article-title"><a href="{href}">{title}</a></h2></li>'
+        for title, d, href in rows)
+    pager = ""
+    if page_hrefs:
+        pager = ('<ol class="pagination">' + "".join(
+            f'<li class="pagination-page"><a href="{h}">{i + 1}</a></li>'
+            for i, h in enumerate(page_hrefs)) + "</ol>")
+    return (f'<html><body><ol class="search-results">{lis}</ol>{pager}'
+            "</body></html>").encode()
+
+
+def _lu_doc(title, iso, pdf=None, body="texte de la décision"):
+    # the page-more aside is part of the article template; the pdf
+    # link is optional (luxembourg:151-160 scans for the first .pdf)
+    pdf_a = f'<a href="{pdf}">pdf</a>' if pdf else ""
+    aside = ('<aside class="page-more">'
+             f'<a href="/docs/ignore.html">autre</a>{pdf_a}</aside>')
+    return (f"<html><body><h1>{title}</h1>"
+            f'<time datetime="{iso}">{iso}</time>'
+            f"<p>{body}</p>{aside}</body></html>").encode()
+
+
+def test_luxembourg_aside_pdf_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the CNPD (LU) structure: pagination-page
+    links walk, the listing's time[datetime] year gate skips <2018
+    rows, and the article's aside.page-more PDF fetches as binary
+    (the two-hop pattern, luxembourg:148-160)."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import LUXEMBOURG_SPEC
+
+    p1 = _lu_listing(
+        [("Décision 15FR/2021", "2021-06-09", "/fr/d15.html"),
+         ("Vieille décision", "2016-03-01", "/fr/old.html")],
+        page_hrefs=["/fr/decisions-avis.html?b=0",
+                    "/fr/decisions-avis.html?b=10"])
+    p2 = _lu_listing(
+        [("Avis 3/2020", "2020-02-20", "/fr/a3.html")])
+    pages = _pages_table([
+        (f"{LU}/fr/decisions-avis.html?b=0", p1),
+        (f"{LU}/fr/decisions-avis.html?b=10", p2),
+        (f"{LU}/fr/d15.html", _lu_doc("Décision 15FR/2021", "2021-06-09",
+                                      pdf="/docs/d15.pdf")),
+        (f"{LU}/fr/a3.html", _lu_doc("Avis 3/2020", "2020-02-20")),
+        (f"{LU}/docs/d15.pdf", b"%PDF-1.4 stub"),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{LU}/fr/decisions-avis.html?b=0"]),
+        _robots(tmp_path, ["cnpd.public.lu"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: LUXEMBOURG_SPEC
+                              for h in LUXEMBOURG_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{LU}/fr/decisions-avis.html?b=10" in fetched
+    assert f"{LU}/fr/old.html" not in fetched     # year gate at listing
+    assert f"{LU}/docs/d15.pdf" in fetched        # aside two-hop
+    assert log.set_index("url").loc[f"{LU}/docs/d15.pdf", "kind"] \
+        == "binary"
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Décision 15FR/2021", "Avis 3/2020"}
+
+
+def test_croatia_romania_cyprus_luxembourg_parsers_standalone():
+    from crawler_ray.sources.specs import (croatia_page_parser,
+                                           croatian_date_iso,
+                                           cyprus_page_parser,
+                                           luxembourg_page_parser,
+                                           romania_page_parser)
+
+    assert croatian_date_iso("15. svibnja 2021.") == "2021-05-15"
+    assert croatian_date_iso("3.6.2020") == "2020-06-03"
+    hr = croatia_page_parser(_hr_listing(
+        [_hr_post("T", "15. svibnja 2021.", "/hr/t")],
+        page_hrefs=["/novosti/page/2"]))
+    assert hr.kind == "listing"
+    assert hr.results == [("T", "2021-05-15", "/hr/t")]
+    assert hr.out_links == ["/novosti/page/2"]
+
+    ro = romania_page_parser(_ro_scroll([
+        "header", "28/05/2021", "Titlu",
+        'x <a href="/n1">aici</a>']))
+    assert ro.kind == "listing"
+    assert ro.results == [("Titlu", "28/05/2021", "/n1")]
+    rod = romania_page_parser(_ro_scroll(["Titlu", "28/05/2021", "corp"]))
+    assert rod.kind == "detail"
+    assert rod.text.split("\n")[:2] == ["Titlu", "Released 2021-05-28"]
+
+    cy = cyprus_page_parser(_cy_listing([("A", "16/06/2021", "/dp/a")]))
+    assert cy.kind == "listing"
+    assert cy.results == [("A", "16/06/2021", "/dp/a")]
+    cyd = cyprus_page_parser(_cy_doc("A", "16/06/2021"))
+    assert cyd.kind == "detail"
+    assert cyd.text.split("\n")[:2] == ["A", "Released 2021-06-16"]
+
+    lu = luxembourg_page_parser(_lu_listing(
+        [("T", "2021-06-09", "/fr/t.html"),
+         ("Old", "2016-01-01", "/fr/old.html")],
+        page_hrefs=["?b=10"]))
+    assert lu.kind == "listing"
+    assert lu.results == [("T", "2021-06-09", "/fr/t.html")]
+    assert lu.out_links == ["?b=10"]
+    lud = luxembourg_page_parser(_lu_doc("T", "2021-06-09",
+                                         pdf="/docs/t.pdf"))
+    assert lud.kind == "detail"
+    assert lud.out_links == ["/docs/t.pdf"]      # non-pdf aside skipped
