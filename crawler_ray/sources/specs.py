@@ -43,6 +43,17 @@ over their real DOM shapes:
   direct-child rows with ISO ``time[datetime]`` dates and the year
   gate, ``ol.pagination`` enumerated pager, detail ``aside.page-more``
   PDFs surfaced as frontier links.
+- **Bulgaria / CPDP** (bulgaria:25-290): the rubric fan-out with its
+  menu-year gate; three row shapes (external court links, direct
+  PDFs, news-home article rows) in one center-part scan; undated
+  documents handled by the engine's NoDate contract.
+- **Latvia / DVI** (latvia:24-420): accordion year tables whose
+  column layout varies by year (the date cell is FOUND, not
+  indexed), titles synthesized ``manager-date``; articles-wrapper
+  news rows; page-item pagination.
+- **Lithuania / VDAI** (lithuania:33-300): flat running-year
+  paragraph lists of direct PDF/DOCX links dated by the title's
+  trailing ISO token with the ``year-01-01`` default.
 
 - **Ireland / DPC** (ireland:29-210): ordinal English dates
   ("21st May 2021" → suffix stripped, ``%d %B %Y``), Drupal
@@ -137,10 +148,12 @@ __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "hungary_page_parser", "poland_page_parser",
            "estonia_page_parser", "croatia_page_parser",
            "romania_page_parser", "cyprus_page_parser",
-           "luxembourg_page_parser",
+           "luxembourg_page_parser", "bulgaria_page_parser",
+           "latvia_page_parser", "lithuania_page_parser",
            "french_date_iso", "dutch_date_iso", "english_date_iso",
            "swedish_date_iso", "hungarian_date_iso", "polish_date_iso",
            "estonian_doc_date_iso", "croatian_date_iso",
+           "latvian_date_iso",
            "AUSTRIA_SPEC", "ITALY_SPEC", "EDPB_SPEC", "DENMARK_SPEC",
            "FRANCE_SPEC", "FRANCE_API", "BELGIUM_SPEC", "FINLAND_SPEC",
            "NETHERLANDS_SPEC", "SPAIN_SPEC", "IRELAND_SPEC", "GREECE_SPEC",
@@ -3062,6 +3075,359 @@ def luxembourg_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+# --------------------------------------------------------------------------
+# Bulgaria / CPDP: rubric fan-out with year gate, three row shapes
+# --------------------------------------------------------------------------
+
+class _BulgariaCenterPart(HTMLParser):
+    """cpdp.bg ``div.center-part`` collector. One scan serves all the
+    reference's shapes (bulgaria:78-96 rubric menu, :106-116 SCA
+    external links, :163-167 court PDFs, :218-233 news-home rows,
+    :36-41 ``div.pages`` pager): it records every ``<a>`` (text,
+    href, whether inside an ``h6`` of a ``news-home`` row, whether in
+    the pager) plus the page's text lines for the detail shapes."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str, bool]] = []  # (text, href, is_news)
+        self.page_hrefs: list[str] = []
+        self.frame_lines: list[str] = []   # document-frame / detail text
+        self.has_frame = False
+        self._depth = 0
+        self._center_depth: int | None = None
+        self._in_pages = False
+        self._in_news_h6 = False
+        self._a_href: str | None = None
+        self._a_text: list[str] = []
+        self._a_news = False
+        self._frame_depth: int | None = None
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "center-part" in cls \
+                and self._center_depth is None:
+            self._center_depth = self._depth
+        elif tag == "div" and "pages" in cls:
+            self._in_pages = True                     # bulgaria:36-41
+        elif tag == "div" and "document-frame" in cls \
+                and self._frame_depth is None:
+            self._frame_depth = self._depth           # bulgaria:144-146
+            self.has_frame = True
+        elif tag == "h6":
+            self._in_news_h6 = True                   # bulgaria:222-224
+        if tag == "a":
+            href = _attr(attrs, "href")
+            if href and self._in_pages:
+                self.page_hrefs.append(href)
+            elif href and self._center_depth is not None:
+                self._a_href, self._a_text = href, []
+                self._a_news = self._in_news_h6
+        if self._frame_depth is not None and tag in ("p", "div", "br"):
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._a_href is not None:
+            text = " ".join("".join(self._a_text).split())
+            if text:
+                self.links.append((text, self._a_href, self._a_news))
+            self._a_href = None
+        elif tag == "h6":
+            self._in_news_h6 = False
+        elif tag == "div":
+            if self._frame_depth == self._depth:
+                self._flush()
+                self._frame_depth = None
+            elif self._center_depth == self._depth:
+                self._center_depth = None
+            self._in_pages = False
+        elif tag == "p" and self._frame_depth is not None:
+            self._flush()
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.frame_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._a_href is not None:
+            self._a_text.append(data)
+        if self._frame_depth is not None:
+            self._line.append(data)
+
+
+def bulgaria_page_parser(html: bytes | None) -> ParsedPage:
+    """CPDP parser — the rubric fan-out (bulgaria:78-96): menu links
+    whose text carries a year fan out as sub-listing out-links, gated
+    at >= 2018 like the reference; links without a year in their text
+    are document rows — external ``http`` links (SCA court decisions,
+    bulgaria:106-110), ``.pdf`` hrefs (bulgaria:163-167) and
+    ``news-home`` ``h6`` article links (bulgaria:218-233) all enqueue
+    as results. ``div.pages`` pager links enqueue too. CPDP documents
+    carry NO machine-readable date (the reference writes
+    ``releaseDate: 'Need to add'``, bulgaria:150-155) — results emit
+    an empty date_str (never window-filtered) and HTML detail pages
+    (``document-frame`` / article ``center-part``) parse as undated
+    details: the engine's NoDate contract counts them in
+    ``n_date_filtered`` and keeps their extracted text in the parsed
+    corpus rather than inventing a date."""
+    if html and b"center-part" in html:
+        p = _BulgariaCenterPart()
+        p.feed(html.decode("utf-8", errors="replace"))
+        results, out = [], list(p.page_hrefs)
+        for text, href, is_news in p.links:
+            years = [w for w in text.split() if w.isdigit() and len(w) == 4]
+            if years and not is_news:
+                # rubric menu entry (bulgaria:85-91): year-gated fan-out
+                if years[-1] >= "2018":
+                    out.append(href)
+            elif is_news or href.endswith(".pdf") \
+                    or href.startswith("http"):
+                if len(text) != 1:                    # bulgaria:111-113
+                    results.append((text, "", href))
+        if results or out:
+            return ParsedPage(kind="listing", results=results,
+                              out_links=out)
+        if p.frame_lines:
+            # undated detail (document-frame or news article body)
+            return ParsedPage(
+                kind="detail",
+                text=f"{p.frame_lines[0]}\nReleased \n"
+                     + "\n".join(p.frame_lines[1:]))
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Latvia / DVI: accordion year tables + articles-wrapper news rows
+# --------------------------------------------------------------------------
+
+_LV_DATE = re.compile(r"(\d{1,2})\.(\d{1,2})\.(\d{4})\.?")
+
+
+def latvian_date_iso(s: str | None) -> str | None:
+    """DVI dates → ISO: ``dd.mm.yyyy.`` WITH the trailing period
+    (latvia:111 ``strptime('%d.%m.%Y.')``)."""
+    m = _LV_DATE.search((s or "").strip())
+    if not m:
+        return None
+    return (f"{int(m.group(3)):04d}-{int(m.group(2)):02d}-"
+            f"{int(m.group(1)):02d}")
+
+
+class _LatviaListing(HTMLParser):
+    """dvi.gov.lv scanner for both reference shapes. Decisions
+    (latvia:86-131): ``div.accordion`` year cards hold tables whose
+    COLUMN LAYOUT varies by year (2021: date in col 3; 2020: col 2 —
+    latvia:100-106); the scan finds the ``dd.mm.yyyy.`` cell wherever
+    it sits, takes col 0 as the manager, synthesizes the title
+    ``manager-date`` (no title column exists, latvia:116-117) and the
+    first link cell as the PDF. News (latvia:355-372):
+    ``div.articles-wrapper`` rows with ``div.date`` and ``div.title >
+    a``. Pagination (latvia:35-42): ``ul.pagination`` →
+    ``li.page-item`` links."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        # table rows
+        self._in_tr = self._in_td = False
+        self._td_texts: list[str] = []
+        self._td_cur: list[str] = []
+        self._tr_href: str | None = None
+        # news rows
+        self._wrap_depth: int | None = None
+        self._in_date = self._in_title = self._in_title_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_date: list[str] = []
+        self._in_pager = self._in_page_li = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "tr":
+            self._in_tr = True
+            self._td_texts, self._tr_href = [], None
+        elif tag == "td" and self._in_tr:
+            self._in_td = True
+            self._td_cur = []
+        elif tag == "a" and self._in_td and self._tr_href is None:
+            self._tr_href = _attr(attrs, "href")       # latvia:126-128
+        if tag == "div" and "articles-wrapper" in cls \
+                and self._wrap_depth is None:
+            self._wrap_depth = self._depth             # latvia:357
+            self._row_href, self._row_title, self._row_date = None, [], []
+        elif self._wrap_depth is not None:
+            if tag == "div" and "date" in cls:
+                self._in_date = True                   # latvia:361-365
+            elif tag == "div" and "title" in cls:
+                self._in_title = True                  # latvia:370-372
+            elif tag == "a" and self._in_title and self._row_href is None:
+                self._row_href = _attr(attrs, "href")
+                self._in_title_a = True
+        if tag == "ul" and "pagination" in cls:
+            self._in_pager = True                      # latvia:35-37
+        elif tag == "li" and "page-item" in cls and self._in_pager:
+            self._in_page_li = True
+        elif tag == "a" and self._in_page_li:
+            href = _attr(attrs, "href")
+            if href:
+                self.page_hrefs.append(href)           # latvia:38-42
+
+    def handle_endtag(self, tag):
+        if tag == "td" and self._in_td:
+            self._in_td = False
+            self._td_texts.append(" ".join("".join(self._td_cur).split()))
+        elif tag == "tr" and self._in_tr:
+            self._in_tr = False
+            # find the date cell wherever the year's layout put it
+            iso = None
+            for t in self._td_texts:
+                iso = latvian_date_iso(t)
+                if iso:
+                    break
+            if iso and self._td_texts and self._tr_href:
+                manager = self._td_texts[0]
+                if manager and not latvian_date_iso(manager):
+                    # latvia:116-117 — title = manager + '-' + date
+                    d, m, y = iso[8:10], iso[5:7], iso[0:4]
+                    title = f"{manager}-{int(d):02d}.{int(m):02d}.{y}."
+                    self.results.append((title, iso, self._tr_href))
+        elif tag == "a":
+            self._in_title_a = False
+        elif tag == "li":
+            self._in_page_li = False
+        elif tag == "ul":
+            self._in_pager = False
+        elif tag == "div":
+            if self._in_date:
+                self._in_date = False
+            elif self._in_title:
+                self._in_title = False
+            elif self._wrap_depth == self._depth:
+                title = " ".join("".join(self._row_title).split())
+                iso = latvian_date_iso(
+                    " ".join("".join(self._row_date).split())) or ""
+                if title and self._row_href:
+                    self.results.append((title, iso, self._row_href))
+                self._wrap_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_td:
+            self._td_cur.append(data)
+        if self._in_title_a:
+            self._row_title.append(data)
+        elif self._in_date and self._wrap_depth is not None:
+            self._row_date.append(data)
+
+
+def latvia_page_parser(html: bytes | None) -> ParsedPage:
+    """DVI parser. Table rows link straight to PDFs (binary); news
+    rows link to article details handled by the default contract
+    (the news article pages are plain h1+body pages)."""
+    if html and (b"articles-wrapper" in html
+                 or (b"accordion" in html and b"<tr" in html)):
+        p = _LatviaListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Lithuania / VDAI: running-year paragraph lists of direct PDF links
+# --------------------------------------------------------------------------
+
+class _LithuaniaContent(HTMLParser):
+    """vdai.lrv.lt scanner (lithuania:77-110 decisions, :155-175
+    guidelines, :292-300 inspection reports): inside ``div.content``
+    / ``div.panel-group`` / ``div.panel-body`` the page is a flat
+    ``<p>`` sequence — a digit-only paragraph sets the RUNNING YEAR;
+    link-bearing paragraphs carry ``.pdf``/``.docx`` document links
+    whose date is the title's last token when it starts with a digit
+    (``%Y-%m-%d``), else ``year-01-01`` from the running year
+    (lithuania:100-106)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[tuple[str, str, str]] = []   # (title, year, href)
+        self._container = False
+        self._in_p = self._in_a = False
+        self._year = ""
+        self._p_text: list[str] = []
+        self._p_links: list[tuple[str, list]] = []   # (href, text parts)
+
+    def handle_starttag(self, tag, attrs):
+        cls = _classes(attrs)
+        if tag == "div" and ("content" in cls or "panel-group" in cls
+                             or "panel-body" in cls):
+            self._container = True
+        elif tag == "p" and self._container:
+            self._in_p = True
+            self._p_text, self._p_links = [], []
+        elif tag == "a" and self._in_p:
+            href = _attr(attrs, "href")
+            if href:
+                self._p_links.append((href, []))
+                self._in_a = True
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "p" and self._in_p:
+            self._in_p = False
+            text = " ".join("".join(self._p_text).split())
+            if text.isdigit() and len(text) == 4:
+                self._year = text                    # lithuania:81-85
+            for href, parts in self._p_links:
+                title = " ".join("".join(parts).split())
+                if title and (href.endswith(".pdf")
+                              or href.endswith(".docx")):
+                    self.rows.append((title, self._year, href))
+
+    def handle_data(self, data):
+        if self._in_p:
+            self._p_text.append(data)
+            if self._in_a and self._p_links:
+                self._p_links[-1][1].append(data)
+
+
+_LT_ISO = re.compile(r"^(\d{4})-(\d{1,2})-(\d{1,2})$")
+
+
+def lithuania_page_parser(html: bytes | None) -> ParsedPage:
+    """VDAI parser — listing-only source of direct PDF/DOCX links
+    dated by the title's trailing ``%Y-%m-%d`` token, defaulting to
+    the running year's ``-01-01`` (lithuania:100-106). The reference's
+    google-search-to-download Selenium dance for docx payloads
+    (lithuania:233-255) is just a fetch here — the engine's
+    politeness-governed stage pulls the href directly."""
+    if html and (b"content text" in html or b"panel-group" in html
+                 or b"panel-body" in html):
+        p = _LithuaniaContent()
+        p.feed(html.decode("utf-8", errors="replace"))
+        results = []
+        for title, year, href in p.rows:
+            tok = title.split()[-1]
+            if _LT_ISO.match(tok):
+                iso = tok                           # lithuania:100-102
+            elif year:
+                iso = f"{year}-01-01"               # lithuania:103-104
+            else:
+                iso = ""
+            results.append((title, iso, href))
+        if results:
+            return ParsedPage(kind="listing", results=results)
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -3294,6 +3660,44 @@ ESTONIA_SPEC = SourceSpec(
 )
 
 
+BULGARIA_SPEC = SourceSpec(
+    source_id="bulgaria-cpdp",
+    hosts=("www.cpdp.bg", "cpdp.bg"),
+    seed_urls=(  # bulgaria:67-68 — the decisions/opinions rubric root
+        "https://www.cpdp.bg/index.php?p=rubric&aid=3",),
+    doc_types=("Decisions", "Opinions", "Annual Reports"),
+    pagination="forward",
+    page_parser=bulgaria_page_parser,
+)
+
+LATVIA_SPEC = SourceSpec(
+    source_id="latvia-dvi",
+    hosts=("www.dvi.gov.lv", "dvi.gov.lv"),
+    seed_urls=(  # latvia:26-27, 75-76 — news + decisions sections
+        "https://www.dvi.gov.lv/lv/jaunumi",
+        "https://www.dvi.gov.lv/lv/lemumi",
+    ),
+    doc_types=("News", "Decisions"),
+    pagination="forward",
+    page_parser=latvia_page_parser,
+)
+
+LITHUANIA_SPEC = SourceSpec(
+    source_id="lithuania-vdai",
+    hosts=("vdai.lrv.lt", "www.vdai.lrv.lt"),
+    seed_urls=(  # lithuania:68-69, 155-156, 281-282 — three sections
+        "https://vdai.lrv.lt/lt/naudinga-informacija/"
+        "vdai-sprendimai-baudos-nurodymai-ir-kt",
+        "https://vdai.lrv.lt/lt/naudinga-informacija/"
+        "rekomendacijos-gaires-ir-kt",
+        "https://vdai.lrv.lt/lt/naudinga-informacija/"
+        "patikrinimu-rezultatu-apibendrinimai",
+    ),
+    doc_types=("Decisions", "Guidelines", "Inspection Reports"),
+    pagination="forward",                  # single pages, no pager
+    page_parser=lithuania_page_parser,
+)
+
 CROATIA_SPEC = SourceSpec(
     source_id="croatia-azop",
     hosts=("azop.hr", "www.azop.hr"),
@@ -3353,4 +3757,5 @@ def register_reference_specs() -> list[SourceSpec]:
             register(HUNGARY_SPEC), register(POLAND_SPEC),
             register(ESTONIA_SPEC), register(CROATIA_SPEC),
             register(ROMANIA_SPEC), register(CYPRUS_SPEC),
-            register(LUXEMBOURG_SPEC)]
+            register(LUXEMBOURG_SPEC), register(BULGARIA_SPEC),
+            register(LATVIA_SPEC), register(LITHUANIA_SPEC)]

@@ -1883,3 +1883,266 @@ def test_croatia_romania_cyprus_luxembourg_parsers_standalone():
                                          pdf="/docs/t.pdf"))
     assert lud.kind == "detail"
     assert lud.out_links == ["/docs/t.pdf"]      # non-pdf aside skipped
+
+
+# --------------------------------------------------------------------------
+# Bulgaria: rubric fan-out, three row shapes, undated documents
+# --------------------------------------------------------------------------
+
+BG = "https://www.cpdp.bg"
+
+
+def _bg_rubric(menu):
+    lis = "".join(
+        f'<li><a href="{href}">{text}</a></li>' for text, href in menu)
+    return (f'<html><body><div class="center-part"><ul>{lis}</ul></div>'
+            "</body></html>").encode()
+
+
+def _bg_sublisting(links, news=(), page_hrefs=()):
+    body = "".join(f'<a href="{h}">{t}</a>' for t, h in links)
+    body += "".join(
+        '<div class="news-home"><div class="news-content">'
+        f'<h6><a href="{h}">{t}</a></h6></div></div>' for t, h in news)
+    pager = ""
+    if page_hrefs:
+        pager = ('<div class="pages">' + "".join(
+            f'<a href="{h}">{i + 1}</a>' for i, h in enumerate(page_hrefs))
+            + "</div>")
+    return (f'<html><body><div class="center-part">{body}{pager}</div>'
+            "</body></html>").encode()
+
+
+def _bg_frame_doc(title, body="текст на решението"):
+    return (f'<html><body><div class="center-part">'
+            f'<div class="document-frame"><p>{title}</p><p>{body}</p>'
+            "</div></div></body></html>").encode()
+
+
+def test_bulgaria_rubric_fanout_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the CPDP structure: the rubric menu fans
+    out only to >=2018 sub-rubrics, pdf rows fetch as binary, the
+    news rows' detail pages parse as UNDATED details (the reference
+    writes releaseDate 'Need to add') counted by the NoDate metric
+    with their text kept in the parsed corpus."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import BULGARIA_SPEC
+
+    rubric = _bg_rubric([
+        ("Решения на КЗЛД за 2021", "?p=sub&y=2021"),
+        ("Решения на КЗЛД за 2016", "?p=sub&y=2016"),
+    ])
+    sub = _bg_sublisting(
+        links=[("Решение ППН-01-2021", "/docs/r1.pdf")],
+        news=[("Становище относно жалба", "?p=news&aid=77")],
+        page_hrefs=["?p=sub&y=2021&page=2"])
+    sub2 = _bg_sublisting(links=[("Решение второ", "/docs/r2.pdf")])
+    pdf = b"%PDF-1.4 stub"
+    pages = _pages_table([
+        (f"{BG}/index.php?p=rubric&aid=3", rubric),
+        (f"{BG}/index.php?p=sub&y=2021", sub),
+        (f"{BG}/index.php?p=sub&y=2021&page=2", sub2),
+        (f"{BG}/docs/r1.pdf", pdf), (f"{BG}/docs/r2.pdf", pdf),
+        (f"{BG}/index.php?p=news&aid=77",
+         _bg_frame_doc("Становище относно жалба")),
+    ])
+    out = str(tmp_path / "out")
+    summary = run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{BG}/index.php?p=rubric&aid=3"]),
+        _robots(tmp_path, ["www.cpdp.bg"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: BULGARIA_SPEC
+                              for h in BULGARIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{BG}/index.php?p=sub&y=2021" in fetched   # rubric fan-out
+    assert f"{BG}/index.php?p=sub&y=2016" not in fetched  # year gate
+    assert f"{BG}/index.php?p=sub&y=2021&page=2" in fetched  # div.pages
+    assert f"{BG}/docs/r1.pdf" in fetched
+    assert f"{BG}/docs/r2.pdf" in fetched
+    assert f"{BG}/index.php?p=news&aid=77" in fetched
+    # undated detail: text extracted, excluded from dated docs by the
+    # engine's NoDate contract (reference: releaseDate 'Need to add')
+    row = log.set_index("url").loc[f"{BG}/index.php?p=news&aid=77"]
+    assert row["kind"] == "detail"
+    docs = finalize_docs(out).to_pandas()
+    assert docs.empty or \
+        "Становище относно жалба" not in set(docs["title"])
+
+
+# --------------------------------------------------------------------------
+# Latvia: accordion year tables with drifting columns + news rows
+# --------------------------------------------------------------------------
+
+LV = "https://www.dvi.gov.lv"
+
+
+def _lv_decisions(rows_2021, rows_2020):
+    def table(rows, with_remedy):
+        trs = "<tr><th>h</th></tr>"
+        for manager, date, href in rows:
+            cells = [f"<td>{manager}</td>"]
+            if with_remedy:
+                cells.append("<td>remedy</td>")
+            cells.append(f'<td><a href="{href}">pdf</a></td>')
+            cells.append(f"<td>{date}</td>")
+            if not with_remedy:
+                # 2020 layout: date in col 2, extra status cols after
+                cells = [f"<td>{manager}</td>",
+                         f'<td><a href="{href}">pdf</a></td>',
+                         f"<td>{date}</td>", "<td>st</td>", "<td>cj</td>"]
+            trs += "<tr>" + "".join(cells) + "</tr>"
+        return f"<table><tbody>{trs}</tbody></table>"
+
+    acc = ('<div class="accordion"><button class="btn btn-link">2021'
+           f'</button><div class="card-body">{table(rows_2021, True)}'
+           "</div></div>"
+           '<div class="accordion"><button class="btn btn-link">2020'
+           f'</button><div class="card-body">{table(rows_2020, False)}'
+           "</div></div>")
+    return ('<html><body><div class="block-ministry-content">'
+            f'<div class="node"><div class="content">{acc}</div></div>'
+            "</div></body></html>").encode()
+
+
+def _lv_news(rows, page_hrefs=()):
+    arts = "".join(
+        '<div class="articles-wrapper"><div class="article-details">'
+        f'<div class="date">{date}</div></div>'
+        f'<div class="title"><a href="{href}">{title}</a></div></div>'
+        for title, date, href in rows)
+    pager = ""
+    if page_hrefs:
+        pager = ('<ul class="pagination">' + "".join(
+            f'<li class="page-item"><a href="{h}">{i + 1}</a></li>'
+            for i, h in enumerate(page_hrefs)) + "</ul>")
+    return f"<html><body>{arts}{pager}</body></html>".encode()
+
+
+def test_latvia_year_tables_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the DVI structure: BOTH year-table column
+    layouts resolve (the date cell is found, not indexed), titles
+    synthesize manager-date, news rows window-filter on dd.mm.yyyy.
+    dates, page-item pagination walks."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import LATVIA_SPEC
+
+    dec = _lv_decisions(
+        rows_2021=[("SIA Alpha", "15.03.2021.", "/media/a.pdf")],
+        rows_2020=[("SIA Beta", "10.06.2020.", "/media/b.pdf"),
+                   ("SIA Old", "01.01.2017.", "/media/old.pdf")])
+    news = _lv_news(
+        [("Jaunums par datiem", "09.06.2021.", "/lv/jaunums-1")],
+        page_hrefs=["/lv/jaunumi?page=2"])
+    news2 = _lv_news([])
+    pages = _pages_table([
+        (f"{LV}/lv/lemumi", dec),
+        (f"{LV}/lv/jaunumi", news),
+        (f"{LV}/lv/jaunumi?page=2", news2),
+        (f"{LV}/media/a.pdf", b"%PDF-1.4 stub"),
+        (f"{LV}/media/b.pdf", b"%PDF-1.4 stub"),
+        (f"{LV}/media/old.pdf", b"%PDF-1.4 stub"),
+        (f"{LV}/lv/jaunums-1",
+         b"<html><body><h1>Jaunums par datiem</h1><p>teksts</p></body>"
+         b"</html>"),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{LV}/lv/jaunumi", f"{LV}/lv/lemumi"]),
+        _robots(tmp_path, ["www.dvi.gov.lv"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: LATVIA_SPEC for h in LATVIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{LV}/media/a.pdf" in fetched        # 2021 layout resolved
+    assert f"{LV}/media/b.pdf" in fetched        # 2020 layout resolved
+    assert f"{LV}/media/old.pdf" not in fetched  # dd.mm.yyyy. filtered
+    assert f"{LV}/lv/jaunumi?page=2" in fetched  # page-item pager
+    assert f"{LV}/lv/jaunums-1" in fetched       # news detail followed
+
+
+# --------------------------------------------------------------------------
+# Lithuania: running-year paragraph lists of direct PDF links
+# --------------------------------------------------------------------------
+
+LT = "https://vdai.lrv.lt"
+
+
+def _lt_listing(parts):
+    body = "".join(parts)
+    return (f'<html><body><div class="content text">{body}</div>'
+            "</body></html>").encode()
+
+
+def test_lithuania_running_year_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the VDAI structure: title-trailing ISO
+    dates window-filter at the listing; undated titles inherit the
+    RUNNING year paragraph's year-01-01 default (lithuania:100-106)."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import LITHUANIA_SPEC
+
+    listing = _lt_listing([
+        "<p>2021</p>",
+        '<p><a href="/docs/s1.pdf">Sprendimas del baudos 2021-06-09</a>'
+        "</p>",
+        '<p><a href="/docs/s2.pdf">Nurodymas be datos</a></p>',
+        "<p>2016</p>",
+        '<p><a href="/docs/old.pdf">Senas sprendimas</a></p>',
+    ])
+    pdf = b"%PDF-1.4 stub"
+    pages = _pages_table([
+        (f"{LT}/lt/naudinga-informacija/vdai-sprendimai-baudos-nurodymai-"
+         "ir-kt", listing),
+        (f"{LT}/docs/s1.pdf", pdf), (f"{LT}/docs/s2.pdf", pdf),
+        (f"{LT}/docs/old.pdf", pdf),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{LT}/lt/naudinga-informacija/vdai-sprendimai-"
+                          "baudos-nurodymai-ir-kt"]),
+        _robots(tmp_path, ["vdai.lrv.lt"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: LITHUANIA_SPEC
+                              for h in LITHUANIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{LT}/docs/s1.pdf" in fetched        # trailing ISO token
+    assert f"{LT}/docs/s2.pdf" in fetched        # running-year default
+    assert f"{LT}/docs/old.pdf" not in fetched   # 2016-01-01 filtered
+
+
+def test_bulgaria_latvia_lithuania_parsers_standalone():
+    from crawler_ray.sources.specs import (bulgaria_page_parser,
+                                           latvia_page_parser,
+                                           latvian_date_iso,
+                                           lithuania_page_parser)
+
+    bg = bulgaria_page_parser(_bg_rubric([
+        ("Решения за 2021", "?p=s&y=2021"),
+        ("Решения за 2016", "?p=s&y=2016")]))
+    assert bg.kind == "listing"
+    assert bg.out_links == ["?p=s&y=2021"] and bg.results == []
+    bgs = bulgaria_page_parser(_bg_sublisting(
+        links=[("R1", "/d/r1.pdf")], news=[("N1", "?p=n&aid=1")],
+        page_hrefs=["?page=2"]))
+    assert ("R1", "", "/d/r1.pdf") in bgs.results
+    assert ("N1", "", "?p=n&aid=1") in bgs.results
+    assert bgs.out_links == ["?page=2"]
+    bgd = bulgaria_page_parser(_bg_frame_doc("T"))
+    assert bgd.kind == "detail"
+    assert bgd.text.split("\n")[:2] == ["T", "Released "]
+
+    assert latvian_date_iso("15.03.2021.") == "2021-03-15"
+    lv = latvia_page_parser(_lv_decisions(
+        rows_2021=[("SIA A", "15.03.2021.", "/m/a.pdf")], rows_2020=[]))
+    assert lv.results == [("SIA A-15.03.2021.", "2021-03-15", "/m/a.pdf")]
+
+    lt = lithuania_page_parser(_lt_listing([
+        "<p>2020</p>", '<p><a href="/d/x.pdf">Be datos</a></p>']))
+    assert lt.results == [("Be datos", "2020-01-01", "/d/x.pdf")]
