@@ -54,6 +54,26 @@ over their real DOM shapes:
 - **Lithuania / VDAI** (lithuania:33-300): flat running-year
   paragraph lists of direct PDF/DOCX links dated by the title's
   trailing ISO token with the ``year-01-01`` default.
+- **Slovakia / UOOU-SK** (slovakia:33-160): ``filefield-file``
+  direct-download rows with the any-title-token year gate;
+  ``pager-item`` pagination.
+- **Slovenia / IP-RS** (slovenia:35-215): ``advsea-results-list``
+  table rows with align-keyed date/link cells and the missing
+  leading slash, ``advsea-next`` pagination, ``article.c9`` detail
+  bodies.
+- **Malta / IDPC** (malta:34-260): ``vce-text-block`` guideline
+  paragraphs whose WHOLE text is the title; the news grid visible
+  only after the show-more click — rendered through the warm pool.
+- **Czech Republic / UOOU-CZ** (czech_republic:26-960): one vismo
+  shape for all six sections — ``ul.ui`` rows with ``d. m. yyyy``
+  row prefixes (kept as FULL dates where the reference truncated to
+  years), ``strlistovani`` pagination, ``File.ashx`` downloads off
+  ``div#obalcelek`` detail articles.
+
+Every hand-written scraper structure of the reference is now ported
+(Germany is an empty stub there — all sub-DPA imports commented out,
+germany/__init__.py:23-42 — so there is nothing to port). The earlier
+rounds' specs:
 
 - **Ireland / DPC** (ireland:29-210): ordinal English dates
   ("21st May 2021" → suffix stripped, ``%d %B %Y``), Drupal
@@ -150,6 +170,8 @@ __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "romania_page_parser", "cyprus_page_parser",
            "luxembourg_page_parser", "bulgaria_page_parser",
            "latvia_page_parser", "lithuania_page_parser",
+           "slovakia_page_parser", "slovenia_page_parser",
+           "malta_page_parser", "czech_page_parser", "czech_date_iso",
            "french_date_iso", "dutch_date_iso", "english_date_iso",
            "swedish_date_iso", "hungarian_date_iso", "polish_date_iso",
            "estonian_doc_date_iso", "croatian_date_iso",
@@ -159,7 +181,9 @@ __all__ = ["austria_page_parser", "italy_page_parser", "edpb_page_parser",
            "NETHERLANDS_SPEC", "SPAIN_SPEC", "IRELAND_SPEC", "GREECE_SPEC",
            "UK_SPEC", "SWEDEN_SPEC", "PORTUGAL_SPEC", "HUNGARY_SPEC",
            "POLAND_SPEC", "ESTONIA_SPEC", "CROATIA_SPEC", "ROMANIA_SPEC",
-           "CYPRUS_SPEC", "LUXEMBOURG_SPEC",
+           "CYPRUS_SPEC", "LUXEMBOURG_SPEC", "BULGARIA_SPEC",
+           "LATVIA_SPEC", "LITHUANIA_SPEC", "SLOVAKIA_SPEC",
+           "SLOVENIA_SPEC", "MALTA_SPEC", "CZECH_SPEC",
            "register_reference_specs"]
 
 
@@ -3428,6 +3452,489 @@ def lithuania_page_parser(html: bytes | None) -> ParsedPage:
     return parse_page(html)
 
 
+# --------------------------------------------------------------------------
+# Slovakia: filefield-file direct downloads, title-token year gate
+# --------------------------------------------------------------------------
+
+class _SlovakiaListing(HTMLParser):
+    """dataprotection.gov.sk scanner (slovakia:85-151): rows are
+    ``div.filefield-file`` under ``div.content.clearfix``, each a
+    single ``<a>`` (title text + DIRECT file href). The date is only
+    a year embedded in the title; the reference invalidates a row if
+    ANY title token is a digit < 2018 (or any token's ``-``-prefix
+    compares below "2018", slovakia:93-104). Opinions pagination
+    (slovakia:44-51): ``ul.pager`` → ``li.pager-item`` links."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        self._file_depth: int | None = None
+        self._in_a = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._in_pager = self._in_pager_li = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "filefield-file" in cls \
+                and self._file_depth is None:
+            self._file_depth = self._depth
+            self._row_href, self._row_title = None, []
+        elif tag == "a" and self._file_depth is not None \
+                and self._row_href is None:
+            self._row_href = _attr(attrs, "href")     # slovakia:91-92
+            self._in_a = True
+        if tag == "ul" and "pager" in cls:
+            self._in_pager = True                     # slovakia:44-46
+        elif tag == "li" and "pager-item" in cls and self._in_pager:
+            self._in_pager_li = True
+        elif tag == "a" and self._in_pager_li:
+            href = _attr(attrs, "href")
+            if href:
+                self.page_hrefs.append(href)          # slovakia:47-51
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "li":
+            self._in_pager_li = False
+        elif tag == "ul":
+            self._in_pager = False
+        elif tag == "div" and self._file_depth == self._depth:
+            title = " ".join("".join(self._row_title).split())
+            # slovakia:93-104 — the any-token year gate
+            valid = True
+            for w in title.split():
+                if w.isdigit() and int(w) < 2018:
+                    valid = False
+                    break
+            if valid and title and self._row_href:
+                self.results.append((title, "", self._row_href))
+            self._file_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_a and self._file_depth is not None:
+            self._row_title.append(data)
+
+
+def slovakia_page_parser(html: bytes | None) -> ParsedPage:
+    """UOOU-SK parser — listing-only source of direct downloads; the
+    title-token year gate lives in the parser (the titles carry no
+    full date, like Portugal's year suffix) and rows emit an empty
+    date_str."""
+    if html and b"filefield-file" in html:
+        p = _SlovakiaListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Slovenia / IP-RS: advsea results table + advsea-next pagination
+# --------------------------------------------------------------------------
+
+class _SloveniaListing(HTMLParser):
+    """ip-rs.si mnenja-gdpr scanner (slovenia:104-140): rows are the
+    ``tr``s (header skipped) of ``div.advsea-results-list`` inside
+    ``article.c9`` of ``div.page.pr``; the date sits in the
+    ``td[align=center]`` cell (year gate < 2018, slovenia:126-130)
+    and the detail link in ``td[align=left] > a`` — whose href MISSES
+    the leading slash (slovenia:139-141; the engine's url join
+    against the site root reproduces the reference's manual
+    ``'https://www.ip-rs.si/' + href``). Pagination (slovenia:46-61):
+    the ``span.advsea-next`` link."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.next_href: str | None = None
+        self._in_list = False
+        self._in_tr = False
+        self._td_align: str | None = None
+        self._row_date: list[str] = []
+        self._row_title: list[str] = []
+        self._row_href: str | None = None
+        self._in_next = False
+
+    def handle_starttag(self, tag, attrs):
+        cls = _classes(attrs)
+        if tag == "div" and "advsea-results-list" in cls:
+            self._in_list = True
+        elif tag == "tr" and self._in_list:
+            self._in_tr = True
+            self._row_date, self._row_title = [], []
+            self._row_href = None
+        elif tag == "td" and self._in_tr:
+            self._td_align = _attr(attrs, "align")
+        elif tag == "a" and self._in_tr and self._td_align == "left" \
+                and self._row_href is None:
+            href = _attr(attrs, "href")
+            # slovenia:139-141 — the site's hrefs MISS the leading
+            # slash and the reference joins them to the SITE ROOT
+            # ('https://www.ip-rs.si/' + href), not the listing path;
+            # reproduce that by rooting slash-less hrefs here
+            if href and not href.startswith(("/", "http", "?")):
+                href = "/" + href
+            self._row_href = href
+        if tag == "span" and "advsea-next" in cls:
+            self._in_next = True                      # slovenia:52-55
+        elif tag == "a" and self._in_next and self.next_href is None:
+            self.next_href = _attr(attrs, "href")
+
+    def handle_endtag(self, tag):
+        if tag == "td":
+            self._td_align = None
+        elif tag == "span":
+            self._in_next = False
+        elif tag == "tr" and self._in_tr:
+            self._in_tr = False
+            title = " ".join("".join(self._row_title).split())
+            date = " ".join("".join(self._row_date).split())
+            if title and self._row_href and date:
+                self.results.append((title, date, self._row_href))
+        elif tag == "div":
+            self._in_list = False
+
+    def handle_data(self, data):
+        if self._td_align == "center":
+            self._row_date.append(data)
+        elif self._td_align == "left" and self._row_href is not None:
+            self._row_title.append(data)
+
+
+class _SloveniaDetail(HTMLParser):
+    """Opinion-page scanner (slovenia:179-189): the document text is
+    the ``article.c9`` body; the title is its ``header > h1``."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.body_lines: list[str] = []
+        self._depth = 0
+        self._article_depth: int | None = None
+        self._in_h1 = False
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "article" and "c9" in cls and self._article_depth is None:
+            self._article_depth = self._depth          # slovenia:179
+        elif self._article_depth is not None:
+            if tag == "h1" and not self.title:
+                self._in_h1 = True                     # slovenia:182-184
+            elif tag in ("h2", "h3", "p", "li", "div", "br"):
+                self._flush()
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag in ("h2", "h3", "p", "li"):
+            self._flush()
+        elif tag == "article" and self._article_depth == self._depth:
+            self._flush()
+            self._article_depth = None
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._article_depth is not None:
+            self._line.append(data)
+
+
+def slovenia_page_parser(html: bytes | None) -> ParsedPage:
+    """IP-RS parser. Listing rows carry ``d.m.yyyy`` dates (window
+    filter at discovery, subsuming the year gate); detail opinions
+    emit the ``article.c9`` text with the date carried in the page's
+    own date line."""
+    if html and b"advsea-results-list" in html:
+        p = _SloveniaListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.next_href:
+            return ParsedPage(kind="listing", results=p.results,
+                              next_href=p.next_href)
+    if html and b'class="c9"' in html.replace(b"'", b'"'):
+        p = _SloveniaDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title and p.body_lines:
+            from crawler_ray.functions.dates import parse_date_multi
+            iso = ""
+            for line in p.body_lines[:3]:
+                d = parse_date_multi(line.split()[-1] if line else "")
+                if d:
+                    iso = d.isoformat()
+                    break
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n" + "\n".join(p.body_lines))
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Malta / IDPC: vce-text guideline blocks + rendered news grid
+# --------------------------------------------------------------------------
+
+class _MaltaListing(HTMLParser):
+    """idpc.org.mt scanner. Guidelines (malta:96-135): ``<p>`` rows of
+    the ``div.vce-text-block-wrapper`` whose title is the WHOLE
+    paragraph text (the link text alone is inconsistent, malta:117)
+    and whose ``<a>`` href is the direct file. News (malta:185-225):
+    ``div.news-list-container`` direct-child tiles with ``a.link``
+    detail hrefs — only visible after the show-more click, hence the
+    spec's ``needs_render`` (the reference clicks ``.page-btn`` in a
+    live driver, malta:200-204)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.news_hrefs: list[str] = []
+        self._depth = 0
+        self._vce_depth: int | None = None
+        self._in_p = False
+        self._p_text: list[str] = []
+        self._p_href: str | None = None
+        self._news_depth: int | None = None
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "div" and "vce-text-block-wrapper" in cls \
+                and self._vce_depth is None:
+            self._vce_depth = self._depth              # malta:100-101
+        elif tag == "div" and "news-list-container" in cls \
+                and self._news_depth is None:
+            self._news_depth = self._depth             # malta:213-215
+        if tag == "p" and self._vce_depth is not None:
+            self._in_p = True
+            self._p_text, self._p_href = [], None
+        elif tag == "a":
+            href = _attr(attrs, "href")
+            if self._in_p and self._p_href is None:
+                self._p_href = href                    # malta:106-127
+            elif self._news_depth is not None and "link" in cls and href:
+                self.news_hrefs.append(href)           # malta:219-225
+
+    def handle_endtag(self, tag):
+        if tag == "p" and self._in_p:
+            self._in_p = False
+            title = " ".join("".join(self._p_text).split())
+            if title and self._p_href:
+                # malta:178 — releaseDate 'Date not available': the
+                # guideline files are undated direct downloads
+                self.results.append((title, "", self._p_href))
+        elif tag == "div":
+            if self._vce_depth == self._depth:
+                self._vce_depth = None
+            elif self._news_depth == self._depth:
+                self._news_depth = None
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_p:
+            self._p_text.append(data)
+
+
+def malta_page_parser(html: bytes | None) -> ParsedPage:
+    """IDPC parser. Guideline paragraphs link straight to files; the
+    rendered news grid fans out to article details handled by the
+    default contract."""
+    if html and (b"vce-text-block-wrapper" in html
+                 or b"news-list-container" in html):
+        p = _MaltaListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.news_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.news_hrefs)
+    return parse_page(html)
+
+
+# --------------------------------------------------------------------------
+# Czech Republic / UOOU: vismo ul.ui rows, strlistovani pager, File.ashx
+# --------------------------------------------------------------------------
+
+_CZ_DATE = re.compile(r"(\d{1,2})\.\s*(\d{1,2})\.\s*(\d{4})")
+
+
+def czech_date_iso(s: str | None) -> str | None:
+    """Vismo row dates → ISO: the ``d. m. yyyy`` prefix before the
+    `` - `` / ``–`` separator (czech_republic:158-178 extracts it
+    with the same regexes and keeps only the year; the engine keeps
+    the full date so the window filter is exact)."""
+    m = _CZ_DATE.search((s or "").strip())
+    if not m:
+        return None
+    return (f"{int(m.group(3)):04d}-{int(m.group(2)):02d}-"
+            f"{int(m.group(1)):02d}")
+
+
+class _CzechListing(HTMLParser):
+    """uoou.cz vismo scanner — ONE shape serves all six get_docs_*
+    sections (czech_republic:105-960, press releases / opinions /
+    annual reports / court rulings / decision-making / president
+    decisions all walk ``ul.ui`` rows under ``div.obsah`` or
+    ``div#obalcelek``): each ``li`` holds the title ``<a>`` and a
+    ``<div>`` whose text starts with the ``d. m. yyyy`` date
+    (czech:153-168). Pagination (czech:39-48): every link of
+    ``div.strlistovani``."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.results: list[tuple[str, str, str]] = []
+        self.page_hrefs: list[str] = []
+        self._depth = 0
+        self._in_ui = False
+        self._li_depth: int | None = None
+        self._in_a = self._in_div = False
+        self._row_href: str | None = None
+        self._row_title: list[str] = []
+        self._row_meta: list[str] = []
+        self._in_pager = False
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "ul" and "ui" in cls:
+            self._in_ui = True
+        elif tag == "li" and self._in_ui and self._li_depth is None:
+            self._li_depth = self._depth
+            self._row_href, self._row_title, self._row_meta = None, [], []
+        elif self._li_depth is not None:
+            if tag == "a" and self._row_href is None:
+                self._row_href = _attr(attrs, "href")  # czech:118-127
+                self._in_a = True
+            elif tag == "div":
+                self._in_div = True                    # czech:153-160
+        if tag == "div" and "strlistovani" in cls:
+            self._in_pager = True                      # czech:39-41
+        elif tag == "a" and self._in_pager:
+            href = _attr(attrs, "href")
+            if href:
+                self.page_hrefs.append(href)           # czech:41-48
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "div" and self._in_div:
+            self._in_div = False
+        elif tag == "div" and self._in_pager:
+            self._in_pager = False
+        elif tag == "li" and self._li_depth == self._depth:
+            title = " ".join("".join(self._row_title).split())
+            iso = czech_date_iso(
+                " ".join("".join(self._row_meta).split())) or ""
+            if title and self._row_href:
+                self.results.append((title, iso, self._row_href))
+            self._li_depth = None
+        elif tag == "ul":
+            self._in_ui = False
+        self._depth -= 1
+
+    def handle_data(self, data):
+        if self._in_a and self._li_depth is not None:
+            self._row_title.append(data)
+        elif self._in_div and self._li_depth is not None:
+            self._row_meta.append(data)
+
+
+class _CzechDetail(HTMLParser):
+    """Vismo article scanner (czech:185-250): the body is
+    ``div.obsah`` text; every ``File.ashx`` link inside
+    ``div#obalcelek`` is a download (czech:187-200) surfaced as a
+    frontier out-link; ``h1`` mirrors the listing title."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.file_hrefs: list[str] = []
+        self.body_lines: list[str] = []
+        self._depth = 0
+        self._in_h1 = False
+        self._obsah_depth: int | None = None
+        self._line: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        cls = _classes(attrs)
+        if tag == "h1" and not self.title:
+            self._in_h1 = True
+        elif tag == "div" and "obsah" in cls and self._obsah_depth is None:
+            self._obsah_depth = self._depth            # czech:237-240
+        elif self._obsah_depth is not None and tag in (
+                "h2", "h3", "p", "li", "div", "br"):
+            self._flush()
+        if tag == "a":
+            href = _attr(attrs, "href")
+            if href and "File.ashx" in href:
+                self.file_hrefs.append(href)           # czech:192-200
+
+    def handle_endtag(self, tag):
+        if tag == "h1":
+            self._in_h1 = False
+        elif tag in ("h2", "h3", "p", "li"):
+            self._flush()
+        elif tag == "div" and self._obsah_depth == self._depth:
+            self._flush()
+            self._obsah_depth = None
+        self._depth -= 1
+
+    def _flush(self) -> None:
+        line = " ".join("".join(self._line).split())
+        if line:
+            self.body_lines.append(line)
+        self._line = []
+
+    def handle_data(self, data):
+        if self._in_h1:
+            self.title.append(data)
+        elif self._obsah_depth is not None:
+            self._line.append(data)
+
+
+def czech_page_parser(html: bytes | None) -> ParsedPage:
+    """UOOU-CZ parser. Listing rows date-filter on the ``d. m. yyyy``
+    row prefix (EXACT dates where the reference truncated to the year,
+    czech:158-178); detail articles emit their ``obsah`` text as the
+    document AND surface ``File.ashx`` downloads as frontier links.
+    The detail's date line mirrors the listing row (vismo shows the
+    publication date in the article meta)."""
+    if html and b'class="ui"' in html.replace(b"'", b'"') \
+            and b"<li" in html:
+        p = _CzechListing()
+        p.feed(html.decode("utf-8", errors="replace"))
+        if p.results or p.page_hrefs:
+            return ParsedPage(kind="listing", results=p.results,
+                              out_links=p.page_hrefs)
+    if html and (b"obsah" in html or b"obalcelek" in html):
+        p = _CzechDetail()
+        p.feed(html.decode("utf-8", errors="replace"))
+        title = " ".join("".join(p.title).split())
+        if title and (p.body_lines or p.file_hrefs):
+            iso = ""
+            for line in p.body_lines[:3]:
+                iso = czech_date_iso(line) or ""
+                if iso:
+                    break
+            return ParsedPage(
+                kind="detail",
+                text=f"{title}\nReleased {iso}\n" + "\n".join(p.body_lines),
+                out_links=p.file_hrefs)
+    return parse_page(html)
+
+
 AUSTRIA_SPEC = SourceSpec(
     source_id="austria-ris",
     hosts=("www.ris.bka.gv.at", "ris.bka.gv.at"),
@@ -3660,6 +4167,63 @@ ESTONIA_SPEC = SourceSpec(
 )
 
 
+SLOVAKIA_SPEC = SourceSpec(
+    source_id="slovakia-uoou",
+    hosts=("dataprotection.gov.sk", "www.dataprotection.gov.sk"),
+    seed_urls=(  # slovakia:35-36, 77-78 — opinions + reports sections
+        "https://dataprotection.gov.sk/uoou/sk/main-content/"
+        "metodiky-uradu",
+        "https://dataprotection.gov.sk/uoou/sk/content/vyrocne-spravy",
+    ),
+    doc_types=("Opinions", "Fines & Reports"),
+    pagination="forward",
+    page_parser=slovakia_page_parser,
+)
+
+SLOVENIA_SPEC = SourceSpec(
+    source_id="slovenia-iprs",
+    hosts=("www.ip-rs.si", "ip-rs.si"),
+    seed_urls=("https://www.ip-rs.si/mnenja-gdpr/",),  # slovenia:37-38
+    doc_types=("Opinions",),
+    pagination="forward",
+    page_parser=slovenia_page_parser,
+)
+
+MALTA_SPEC = SourceSpec(
+    source_id="malta-idpc",
+    hosts=("idpc.org.mt", "www.idpc.org.mt"),
+    seed_urls=(  # malta:87, 189 — guidelines + news sections
+        "https://idpc.org.mt/for-organisations/guidelines/",
+        "https://idpc.org.mt/news/",
+    ),
+    doc_types=("Guidelines", "News"),
+    pagination="forward",
+    page_parser=malta_page_parser,
+    needs_render=True,                 # malta:194-204 — the news grid
+    # appears only after the show-more click in a live driver; the
+    # engine renders on the warm pool instead
+)
+
+CZECH_SPEC = SourceSpec(
+    source_id="czech-uoou",
+    hosts=("www.uoou.cz", "uoou.cz"),
+    seed_urls=(  # czech_republic:29-31, 279-284, 434-438, 530-534,
+        # 745-750, 905-910 — the six vismo sections, one crawl
+        "https://www.uoou.cz/tiskove%2Dzpravy/ds-1017/"
+        "p1=1017&tzv=1&pocet=25&stranka=1",
+        "https://www.uoou.cz/na%2Daktualni%2Dtema/ds-1018/"
+        "archiv=0&p1=1099&tzv=1&pocet=25&stranka=1",
+        "https://www.uoou.cz/vyrocni%2Dzpravy/ds-1277/p1=1277",
+        "https://www.uoou.cz/soudni%2Drozhodnuti/ds-1276/p1=1276",
+        "https://www.uoou.cz/rozhodovaci%2Dcinnost/ds-1022/p1=1022",
+        "https://www.uoou.cz/rozhodnuti%2Dpredsedy/ds-1275/p1=1275",
+    ),
+    doc_types=("Press Releases", "Opinions", "Annual Reports",
+               "Court Rulings", "Decisions", "President Decisions"),
+    pagination="forward",
+    page_parser=czech_page_parser,
+)
+
 BULGARIA_SPEC = SourceSpec(
     source_id="bulgaria-cpdp",
     hosts=("www.cpdp.bg", "cpdp.bg"),
@@ -3758,4 +4322,6 @@ def register_reference_specs() -> list[SourceSpec]:
             register(ESTONIA_SPEC), register(CROATIA_SPEC),
             register(ROMANIA_SPEC), register(CYPRUS_SPEC),
             register(LUXEMBOURG_SPEC), register(BULGARIA_SPEC),
-            register(LATVIA_SPEC), register(LITHUANIA_SPEC)]
+            register(LATVIA_SPEC), register(LITHUANIA_SPEC),
+            register(SLOVAKIA_SPEC), register(SLOVENIA_SPEC),
+            register(MALTA_SPEC), register(CZECH_SPEC)]

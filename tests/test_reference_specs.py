@@ -2146,3 +2146,306 @@ def test_bulgaria_latvia_lithuania_parsers_standalone():
     lt = lithuania_page_parser(_lt_listing([
         "<p>2020</p>", '<p><a href="/d/x.pdf">Be datos</a></p>']))
     assert lt.results == [("Be datos", "2020-01-01", "/d/x.pdf")]
+
+
+# --------------------------------------------------------------------------
+# Slovakia: filefield-file rows, any-token year gate, pager-item pager
+# --------------------------------------------------------------------------
+
+SK = "https://dataprotection.gov.sk"
+
+
+def _sk_listing(rows, page_hrefs=()):
+    files = "".join(
+        f'<div class="filefield-file"><a href="{href}">{title}</a></div>'
+        for title, href in rows)
+    pager = ""
+    if page_hrefs:
+        pager = ('<ul class="pager">' + "".join(
+            f'<li class="pager-item"><a href="{h}">{i + 1}</a></li>'
+            for i, h in enumerate(page_hrefs)) + "</ul>")
+    return ('<html><body><div class="content clearfix">' + files
+            + "</div>" + pager + "</body></html>").encode()
+
+
+def test_slovakia_filefields_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the UOOU-SK structure: direct downloads
+    fetch as binary, the any-title-token year gate drops pre-2018
+    rows at the listing, pager-item pagination walks."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    from crawler_ray.sources.specs import SLOVAKIA_SPEC
+
+    p1 = _sk_listing(
+        [("Metodika spracúvania 2021", "/files/m1.pdf"),
+         ("Stará správa 2016", "/files/old.pdf")],
+        page_hrefs=["/uoou/sk/main-content/metodiky-uradu?page=1"])
+    p2 = _sk_listing([("Vyročná správa 2020", "/files/v2.pdf")])
+    pdf = b"%PDF-1.4 stub"
+    pages = _pages_table([
+        (f"{SK}/uoou/sk/main-content/metodiky-uradu", p1),
+        (f"{SK}/uoou/sk/main-content/metodiky-uradu?page=1", p2),
+        (f"{SK}/files/m1.pdf", pdf), (f"{SK}/files/old.pdf", pdf),
+        (f"{SK}/files/v2.pdf", pdf),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{SK}/uoou/sk/main-content/metodiky-uradu"]),
+        _robots(tmp_path, ["dataprotection.gov.sk"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: SLOVAKIA_SPEC
+                              for h in SLOVAKIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{SK}/uoou/sk/main-content/metodiky-uradu?page=1" in fetched
+    assert f"{SK}/files/m1.pdf" in fetched
+    assert f"{SK}/files/v2.pdf" in fetched
+    assert f"{SK}/files/old.pdf" not in fetched   # any-token year gate
+
+
+# --------------------------------------------------------------------------
+# Slovenia: advsea table rows, align-keyed cells, advsea-next pager
+# --------------------------------------------------------------------------
+
+SI = "https://www.ip-rs.si"
+
+
+def _si_listing(rows, next_href=None):
+    trs = "<tr><th>Datum</th><th>Naslov</th></tr>"
+    for title, date, href in rows:
+        trs += (f'<tr><td align="center">{date}</td>'
+                f'<td align="left"><a href="{href}">{title}</a></td></tr>')
+    nxt = ""
+    if next_href:
+        nxt = (f'<span class="advsea-next"><a href="{next_href}">»</a>'
+               "</span>")
+    return ('<html><body><div class="page pr"><article class="c9">'
+            f'<div class="advsea-results-list"><table>{trs}</table></div>'
+            f"{nxt}</article></div></body></html>").encode()
+
+
+def _si_doc(title, date, body="besedilo mnenja"):
+    return ('<html><body><div class="page pr"><article class="c9">'
+            f"<header><h1>{title}</h1></header>"
+            f"<p>Datum: {date}</p><p>{body}</p>"
+            "</article></div></body></html>").encode()
+
+
+def test_slovenia_advsea_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the IP-RS structure: align-keyed cells
+    resolve date and link, hrefs MISSING the leading slash join to
+    the site root (slovenia:139-141), d.m.yyyy dates window-filter,
+    advsea-next pagination walks."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import SLOVENIA_SPEC
+
+    p1 = _si_listing(
+        [("Mnenje 07121-1/2021", "9.6.2021", "mnenja/m1"),
+         ("Staro mnenje", "1.1.2016", "mnenja/old")],
+        next_href="/mnenja-gdpr/?page=2")
+    p2 = _si_listing([("Mnenje drugo", "20.2.2020", "mnenja/m2")])
+    pages = _pages_table([
+        (f"{SI}/mnenja-gdpr/", p1),
+        (f"{SI}/mnenja-gdpr/?page=2", p2),
+        (f"{SI}/mnenja/m1", _si_doc("Mnenje 07121-1/2021", "9.6.2021")),
+        (f"{SI}/mnenja/old", _si_doc("Staro mnenje", "1.1.2016")),
+        (f"{SI}/mnenja/m2", _si_doc("Mnenje drugo", "20.2.2020")),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{SI}/mnenja-gdpr/"]),
+        _robots(tmp_path, ["www.ip-rs.si"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: SLOVENIA_SPEC
+                              for h in SLOVENIA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{SI}/mnenja-gdpr?page=2" in fetched   # advsea-next
+    # slash-less hrefs rooted at the site root (slovenia:139-141)
+    assert f"{SI}/mnenja/m1" in fetched
+    assert f"{SI}/mnenja/old" not in fetched
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert "Mnenje 07121-1/2021" in set(docs.index)
+    assert str(docs.loc["Mnenje 07121-1/2021", "release_date"]) \
+        == "2021-06-09"
+
+
+# --------------------------------------------------------------------------
+# Malta: vce-text guideline paragraphs + rendered news grid
+# --------------------------------------------------------------------------
+
+MT = "https://idpc.org.mt"
+
+
+def _mt_guidelines(rows):
+    ps = "".join(
+        f'<p>{title} <a href="{href}">download</a></p>'
+        for title, href in rows)
+    return ('<html><body><div class="vce-text-block-wrapper" '
+            f'id="el-88463f26">{ps}</div></body></html>').encode()
+
+
+def _mt_news(hrefs):
+    tiles = "".join(
+        f'<div class="tile"><a class="link" href="{h}">more</a></div>'
+        for h in hrefs)
+    inner = f'<div class="news-list-container">{tiles}</div>'
+    # the grid appears only after the show-more click (malta:200-204)
+    return ('<html><body><div id="shell">loading…</div>'
+            f'<script type="application/x-fixture-ajax">{inner}</script>'
+            "</body></html>").encode()
+
+
+def _mt_doc(title, iso, body="article text"):
+    return (f'<html><body><div class="content"><h1>{title}</h1>'
+            f"<p>Released {iso}</p><p>{body}</p></div></body></html>"
+            ).encode()
+
+
+def test_malta_rendered_news_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the IDPC structure: guideline paragraphs
+    (whole-paragraph titles) link straight to files; the news grid is
+    only parseable after the render pool splices the post-click DOM;
+    news details parse through the default contract."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import MALTA_SPEC
+
+    pages = _pages_table([
+        (f"{MT}/for-organisations/guidelines/", _mt_guidelines(
+            [("Guidelines on CCTV", "/files/cctv.pdf")])),
+        (f"{MT}/news/", _mt_news(["/news/article-1/"])),
+        (f"{MT}/news/article-1/", _mt_doc("IDPC fines controller",
+                                          "2021-04-12")),
+        (f"{MT}/files/cctv.pdf", b"%PDF-1.4 stub"),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{MT}/for-organisations/guidelines/",
+                          f"{MT}/news/"]),
+        _robots(tmp_path, ["idpc.org.mt"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    render_pool=2,
+                    registry={h: MALTA_SPEC for h in MALTA_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{MT}/files/cctv.pdf" in fetched      # guideline file
+    assert f"{MT}/news/article-1" in fetched      # rendered grid tile
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert "IDPC fines controller" in set(docs.index)
+
+
+# --------------------------------------------------------------------------
+# Czech Republic: vismo ul.ui rows, strlistovani pager, File.ashx
+# --------------------------------------------------------------------------
+
+CZ = "https://www.uoou.cz"
+
+
+def _cz_listing(rows, page_hrefs=()):
+    lis = "".join(
+        f'<li><a href="{href}">{title}</a><div>{date} - anotace</div></li>'
+        for title, date, href in rows)
+    pager = ""
+    if page_hrefs:
+        pager = ('<div class="strlistovani">' + "".join(
+            f'<a href="{h}">{i + 1}</a>' for i, h in enumerate(page_hrefs))
+            + "</div>")
+    return (f'<html><body><div class="obsah"><ul class="ui">{lis}</ul>'
+            f"{pager}</div></body></html>").encode()
+
+
+def _cz_doc(title, date, files=(), body="text zprávy"):
+    links = "".join(
+        f'<a href="{h}">příloha</a>' for h in files)
+    return (f'<html><body><div id="obalcelek"><h1>{title}</h1>'
+            f'<div class="obsah"><p>{date} - zveřejněno</p><p>{body}</p>'
+            f"</div>{links}</div></body></html>").encode()
+
+
+def test_czech_vismo_through_engine(ray_session, tmp_path):
+    """Real-engine crawl of the UOOU-CZ structure: ul.ui rows carry
+    d. m. yyyy dates (window filter with FULL dates where the
+    reference truncated to years), strlistovani pagination walks,
+    detail articles surface File.ashx downloads as binary fetches."""
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             finalize_docs, run_crawl)
+    from crawler_ray.sources.specs import CZECH_SPEC
+
+    p1 = _cz_listing(
+        [("Tisková zpráva o pokutě", "15. 3. 2021", "/tz/1"),
+         ("Stará zpráva", "1. 1. 2017", "/tz/old")],
+        page_hrefs=["/tiskove-zpravy/ds-1017/stranka=2"])
+    p2 = _cz_listing([("Druhá zpráva", "9. 6. 2020", "/tz/2")])
+    pages = _pages_table([
+        (f"{CZ}/tiskove-zpravy/ds-1017/stranka=1", p1),
+        (f"{CZ}/tiskove-zpravy/ds-1017/stranka=2", p2),
+        (f"{CZ}/tz/1", _cz_doc("Tisková zpráva o pokutě", "15. 3. 2021",
+                               files=["/assets/File.ashx?id=31695"])),
+        (f"{CZ}/tz/old", _cz_doc("Stará zpráva", "1. 1. 2017")),
+        (f"{CZ}/tz/2", _cz_doc("Druhá zpráva", "9. 6. 2020")),
+        (f"{CZ}/assets/File.ashx?id=31695", b"%PDF-1.4 stub"),
+    ])
+    out = str(tmp_path / "out")
+    run_crawl(
+        _write(tmp_path, "pages.parquet", pages),
+        _seeds(tmp_path, [f"{CZ}/tiskove-zpravy/ds-1017/stranka=1"]),
+        _robots(tmp_path, ["www.uoou.cz"]), out,
+        CrawlConfig(n_frontier_shards=2, n_seen_shards=2, n_page_shards=2,
+                    registry={h: CZECH_SPEC for h in CZECH_SPEC.hosts}))
+    log = crawl_log_dataset(out).to_pandas()
+    fetched = set(log["url"])
+    assert f"{CZ}/tiskove-zpravy/ds-1017/stranka=2" in fetched
+    assert f"{CZ}/tz/old" not in fetched          # d. m. yyyy filtered
+    assert f"{CZ}/assets/File.ashx?id=31695" in fetched
+    assert log.set_index("url").loc[
+        f"{CZ}/assets/File.ashx?id=31695", "kind"] == "binary"
+    docs = finalize_docs(out).to_pandas().set_index("title")
+    assert set(docs.index) == {"Tisková zpráva o pokutě", "Druhá zpráva"}
+    assert str(docs.loc["Tisková zpráva o pokutě", "release_date"]) \
+        == "2021-03-15"
+
+
+def test_slovakia_slovenia_malta_czech_parsers_standalone():
+    from crawler_ray.sources.specs import (czech_date_iso,
+                                           czech_page_parser,
+                                           malta_page_parser,
+                                           slovakia_page_parser,
+                                           slovenia_page_parser)
+
+    sk = slovakia_page_parser(_sk_listing(
+        [("Metodika 2021", "/f/a.pdf"), ("Stará 2016", "/f/b.pdf")],
+        page_hrefs=["?page=1"]))
+    assert sk.kind == "listing"
+    assert sk.results == [("Metodika 2021", "", "/f/a.pdf")]
+    assert sk.out_links == ["?page=1"]
+
+    si = slovenia_page_parser(_si_listing(
+        [("M1", "9.6.2021", "mnenja/m1")], next_href="?page=2"))
+    assert si.kind == "listing"
+    assert si.results == [("M1", "9.6.2021", "/mnenja/m1")]
+    # slovenia:139-141 — slash-less hrefs rooted at the site root
+    assert si.next_href == "?page=2"
+    sid = slovenia_page_parser(_si_doc("M1", "9.6.2021"))
+    assert sid.kind == "detail"
+    assert sid.text.split("\n")[:2] == ["M1", "Released 2021-06-09"]
+
+    mt = malta_page_parser(_mt_guidelines([("G1 title", "/f/g1.pdf")]))
+    assert mt.kind == "listing"
+    assert mt.results == [("G1 title download", "", "/f/g1.pdf")]
+
+    assert czech_date_iso("15. 3. 2021 - anotace") == "2021-03-15"
+    cz = czech_page_parser(_cz_listing(
+        [("Z1", "15. 3. 2021", "/tz/1")], page_hrefs=["stranka=2"]))
+    assert cz.kind == "listing"
+    assert cz.results == [("Z1", "2021-03-15", "/tz/1")]
+    assert cz.out_links == ["stranka=2"]
+    czd = czech_page_parser(_cz_doc("Z1", "15. 3. 2021",
+                                    files=["/assets/File.ashx?id=1"]))
+    assert czd.kind == "detail"
+    assert czd.text.split("\n")[:2] == ["Z1", "Released 2021-03-15"]
+    assert czd.out_links == ["/assets/File.ashx?id=1"]
