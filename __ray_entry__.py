@@ -128,6 +128,37 @@ def _dedup_components(sf_dir: str, local_threshold: int = 5_000_000):
                           local_threshold=local_threshold)
 
 
+def _dedup_canonical(sf_dir: str):
+    """Curation: ONE kept document per duplicate cluster — components
+    over the exact-Jaccard pairs, then the highest-quality member wins
+    (tie → smaller id). Only id-sized triples ever shuffle."""
+    from crawler_ray.dedup import dup_components, ngram_jaccard_pairs
+    from crawler_ray.pipelines.curation import dedup_canonical
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comps = dup_components(pairs, _ds(sf_dir, "documents", ["doc_id"]))
+    return dedup_canonical(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                           comps)
+
+
+def _doc_decontaminate(sf_dir: str):
+    """Curation: benchmark-substring decontamination — the probe set
+    broadcasts once, each batch is one compiled RE2 alternation
+    scan."""
+    from crawler_ray.pipelines.curation import (contamination_flags,
+                                                default_bench_strings)
+    return contamination_flags(_ds(sf_dir, "documents",
+                                   ["doc_id", "text"]),
+                               default_bench_strings(sf_dir))
+
+
+def _doc_repetition(sf_dir: str):
+    """Curation: Gopher-family repetition metrics (duplicate-word
+    fraction + top-bigram share) — pure per-document batch map."""
+    from crawler_ray.pipelines.curation import repetition_stats
+    return repetition_stats(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _dedup_components_lp(sf_dir: str):
     """Same computation FORCED down the distributed label-propagation
     branch (``local_threshold=0``) — the 100-TB path — so the driver's
@@ -242,6 +273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_md5": A.doc_md5_query,
         "doc_langid": _doc_langid,
         "doc_fingerprint": _doc_fingerprint,
+        # corpus curation
+        "doc_decontaminate": _doc_decontaminate,
+        "doc_repetition": _doc_repetition,
         # dedup family
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -249,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _dedup_ngram,
         "dedup_components": _dedup_components,
         "dedup_components_lp": _dedup_components_lp,
+        "dedup_canonical": _dedup_canonical,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         # similarity search
@@ -385,4 +420,22 @@ SELECT query_id, neighbor_id FROM r WHERE rk <= {KNN_K}
     # the forced label-propagation branch computes the SAME result as
     # dedup_components — one oracle, two hash-checked engine paths
     out["dedup_components_lp"] = out["dedup_components"]
+    # canonical selection: the SAME components CTE (a CTE body may
+    # carry its own WITH RECURSIVE in DuckDB) joined to the quality
+    # scores, argmax per component via the deterministic window
+    out["dedup_canonical"] = f"""
+WITH comp AS ({out["dedup_components"]}),
+q AS ({A.DOC_QUALITY_SQL}),
+j AS (SELECT comp.component, comp.doc_id, q.quality
+      FROM comp JOIN q USING (doc_id)),
+r AS (SELECT component, doc_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM j)
+SELECT component, doc_id AS keep_id FROM r WHERE rk = 1
+"""
+    from crawler_ray.pipelines.curation import (DOC_DECONTAMINATE_SQL,
+                                                DOC_REPETITION_SQL)
+    out["doc_decontaminate"] = DOC_DECONTAMINATE_SQL
+    out["doc_repetition"] = DOC_REPETITION_SQL
     return out

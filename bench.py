@@ -149,6 +149,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_chunk", "doc_top_quality", "doc_pack", "doc_sample",
         "stopwords_global_ss",
         "dedup_components", "events_hourly_hll",
+        "dedup_canonical", "doc_decontaminate", "doc_repetition",
     ]
     qs = E.queries()
     out = {}

@@ -1,0 +1,258 @@
+"""Corpus-curation operators: the decisions a training-data pipeline
+makes AFTER dedup/scoring — which duplicate to keep, which documents
+leak benchmark text, which are degenerate repetition.
+
+All three are SQL-expressible on the synthetic ``documents`` table, so
+the driver hash-checks them end-to-end (no rows-only trust):
+
+- :func:`dedup_canonical` — duplicate clusters → ONE kept document per
+  cluster, chosen by quality (the reference's seen-set keeps the FIRST
+  crawl of a title, ``gdprCrawler.py:111-118``; a training pipeline
+  instead keeps the best-quality member and drops the rest).
+- :func:`contamination_flags` — benchmark-substring decontamination:
+  the standard train/test-leak sweep, expressed as a broadcast of the
+  (small) benchmark strings into a single-pass RE2 alternation per
+  batch — never a join or shuffle.
+- :func:`repetition_stats` — degenerate-repetition metrics in the
+  Gopher-filter family (duplicate-word fraction, top-bigram fraction);
+  used as a quality gate on machine-generated / template spam.
+
+Scale notes (100 TB): canonical selection shuffles ONLY (doc_id,
+component, quality) triples — 24 B/doc — never text; its reduce is a
+per-block vectorized partial argmax followed by a 64-way coarse-hash
+group walk, so no single task ever holds more than one coarse bucket
+of component ids. Contamination broadcasts the benchmark once via
+``ray.put`` (typical benchmark suites are ≤ a few MB of strings) and
+streams the corpus through one compiled RE2 scan per batch.
+Repetition is embarrassingly per-document (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["dedup_canonical", "contamination_flags", "repetition_stats",
+           "default_bench_strings", "DOC_DECONTAMINATE_SQL",
+           "DOC_REPETITION_SQL"]
+
+
+# --------------------------------------------------------------------------
+# Canonical representative per duplicate cluster
+# --------------------------------------------------------------------------
+
+def dedup_canonical(docs: "ray.data.Dataset",
+                    components: "ray.data.Dataset",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(component → keep_id): the highest-quality member of every
+    duplicate cluster (ties broken by the smaller id, so the choice is
+    deterministic and matches the SQL oracle's
+    ``ORDER BY quality DESC, doc_id`` window).
+
+    ``docs``: (doc_id, text) — only used to score quality;
+    ``components``: (doc_id, component) from
+    :func:`crawler_ray.dedup.dup_components`.
+
+    Shuffle budget: one distributed hash join of two id-sized tables
+    (component labels ⋈ quality scores), then a 64-way coarse shuffle
+    of (component, doc_id, quality) triples with a vectorized run-walk
+    argmax per bucket. Document text never moves.
+    """
+    import ray  # noqa: F401  (Dataset type only)
+
+    from crawler_ray.functions.textops import quality_scores
+
+    quality = (docs
+               .map_batches(quality_scores, batch_format="pyarrow")
+               .select_columns([id_col, "quality"]))
+    joined = components.join(quality, "inner", num_partitions=8,
+                             on=(id_col,))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        """Per-block partial argmax: one row per component seen in the
+        block — bounds the shuffle at min(block_rows, n_components)."""
+        if batch.num_rows == 0:
+            return pa.table({"component": pa.array([], pa.int64()),
+                             "keep_id": pa.array([], pa.int64()),
+                             "quality": pa.array([], pa.float64()),
+                             "coarse": pa.array([], pa.int64())})
+        comp = batch["component"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        q = batch["quality"].to_numpy(zero_copy_only=False)
+        # sort by (component, -quality, doc_id): the FIRST row of each
+        # component run is its argmax with the deterministic tie-break
+        order = np.lexsort((ids, -q, comp))
+        comp_s, ids_s, q_s = comp[order], ids[order], q[order]
+        first = np.ones(len(comp_s), dtype=bool)
+        first[1:] = comp_s[1:] != comp_s[:-1]
+        return pa.table({
+            "component": pa.array(comp_s[first], pa.int64()),
+            "keep_id": pa.array(ids_s[first], pa.int64()),
+            "quality": pa.array(q_s[first], pa.float64()),
+            "coarse": pa.array((comp_s[first] % 64).astype(np.int64),
+                               pa.int64()),
+        })
+
+    from crawler_ray.dedup import _grouped_apply
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        comp = g["component"].to_numpy(zero_copy_only=False)
+        ids = g["keep_id"].to_numpy(zero_copy_only=False)
+        q = g["quality"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -q, comp))
+        comp_s, ids_s = comp[order], ids[order]
+        first = np.ones(len(comp_s), dtype=bool)
+        first[1:] = comp_s[1:] != comp_s[:-1]
+        return pa.table({
+            "component": pa.array(comp_s[first], pa.int64()),
+            "keep_id": pa.array(ids_s[first], pa.int64()),
+        })
+
+    empty = pa.table({"component": pa.array([], pa.int64()),
+                      "keep_id": pa.array([], pa.int64())})
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return _grouped_apply(partials, "coarse", reduce_bucket, empty=empty,
+                          group_format="pyarrow")
+
+
+# The dedup_canonical SQL oracle is assembled in __ray_entry__ — it
+# splices the SHARED components CTE (the same one that hash-checks
+# dedup_components) ahead of the quality-argmax window.
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+#: deterministic synthetic "benchmark": a 32-char probe from every
+#: 97th document (1-based substr(text, 11, 32) like the SQL oracle) —
+#: stands in for a real eval set's contamination strings.
+BENCH_STRIDE = 97
+BENCH_OFF = 10      # 0-based start (== SQL substr(text, 11, ...))
+BENCH_LEN = 32
+
+DOC_DECONTAMINATE_SQL = f"""
+WITH bench AS (
+  SELECT substr(text, {BENCH_OFF + 1}, {BENCH_LEN}) AS s
+  FROM documents
+  WHERE doc_id % {BENCH_STRIDE} = 0
+    AND length(text) >= {BENCH_OFF + BENCH_LEN}
+)
+SELECT d.doc_id,
+       CAST(max(CASE WHEN position(b.s IN d.text) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
+FROM documents d CROSS JOIN bench b
+GROUP BY d.doc_id
+"""
+
+
+def contamination_flags(docs: "ray.data.Dataset",
+                        bench_strings: list[str]
+                        ) -> "ray.data.Dataset":
+    """(doc_id, contaminated): 1 iff the text contains ANY benchmark
+    string. The benchmark list is closed over (callers broadcast it
+    once — it is eval-set-sized, not corpus-sized) and compiled into a
+    single RE2 alternation, so each batch is ONE vectorized
+    ``match_substring_regex`` scan — no per-string pass, no join."""
+    import re as _re
+
+    pattern = "|".join(_re.escape(s) for s in bench_strings) \
+        if bench_strings else None
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if pattern is None:
+            hit = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        else:
+            m = pc.match_substring_regex(
+                pc.coalesce(batch["text"], pa.scalar("")), pattern)
+            hit = pc.cast(m, pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "contaminated": hit})
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def default_bench_strings(sf_dir: str) -> list[str]:
+    """The deterministic probe set (matches ``DOC_DECONTAMINATE_SQL``'s
+    bench CTE): read ONLY the strided rows' text, slice driver-side —
+    the small side of a broadcast, like the nation dim in
+    ``revenue_by_nation``."""
+    import os
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    keep = ids % BENCH_STRIDE == 0
+    out = []
+    for s in pc.array_filter(t["text"], pa.array(keep)).to_pylist():
+        s = s or ""
+        if len(s) >= BENCH_OFF + BENCH_LEN:
+            out.append(s[BENCH_OFF:BENCH_OFF + BENCH_LEN])
+    return out
+
+
+# --------------------------------------------------------------------------
+# Repetition metrics (Gopher-filter family)
+# --------------------------------------------------------------------------
+
+DOC_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(arr) AS word FROM w
+), wf AS (
+  SELECT doc_id,
+         1.0 - CAST(count(DISTINCT word) AS DOUBLE) / count(*)
+           AS dup_word_frac
+  FROM words GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr)),
+                               i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+  FROM w WHERE len(arr) >= 2
+), bgc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+), bf AS (
+  SELECT doc_id,
+         CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+  FROM bgc GROUP BY doc_id
+)
+SELECT wf.doc_id, wf.dup_word_frac,
+       coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM wf LEFT JOIN bf USING (doc_id)
+"""
+
+
+def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, dup_word_frac, top_bigram_frac): the two cheap
+    repetition signals of the Gopher quality filter — the fraction of
+    word occurrences that are repeats, and the share of the most
+    common bigram among all bigrams. Per-document string work is
+    irreducibly per-row (like chunking/packing); everything around it
+    is numpy. No shuffle: the op is a pure batch map."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        dup = np.zeros(n, dtype=np.float64)
+        top_bg = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            total = len(words)
+            if total:
+                dup[i] = 1.0 - len(set(words)) / total
+            if total >= 2:
+                arr = np.array(words, dtype=object)
+                bigrams = np.char.add(
+                    np.char.add(arr[:-1].astype(str), " "),
+                    arr[1:].astype(str))
+                _, counts = np.unique(bigrams, return_counts=True)
+                top_bg[i] = counts.max() / counts.sum()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dup_word_frac": pa.array(dup, pa.float64()),
+            "top_bigram_frac": pa.array(top_bg, pa.float64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
