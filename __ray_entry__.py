@@ -159,6 +159,15 @@ def _doc_repetition(sf_dir: str):
     return repetition_stats(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _doc_sample_stratified(sf_dir: str):
+    """Curation: exact per-source quota sampling (k hash-first docs
+    per source) — block-local top-k partials, only k x sources rows
+    ever shuffle."""
+    from crawler_ray.pipelines.curation import stratified_sample
+    return stratified_sample(_ds(sf_dir, "documents",
+                                 ["doc_id", "source"]))
+
+
 def _dedup_components_lp(sf_dir: str):
     """Same computation FORCED down the distributed label-propagation
     branch (``local_threshold=0``) — the 100-TB path — so the driver's
@@ -276,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus curation
         "doc_decontaminate": _doc_decontaminate,
         "doc_repetition": _doc_repetition,
+        "doc_sample_stratified": _doc_sample_stratified,
         # dedup family
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -434,8 +444,10 @@ r AS (SELECT component, doc_id,
       FROM j)
 SELECT component, doc_id AS keep_id FROM r WHERE rk = 1
 """
-    from crawler_ray.pipelines.curation import (DOC_DECONTAMINATE_SQL,
-                                                DOC_REPETITION_SQL)
+    from crawler_ray.pipelines.curation import (
+        DOC_DECONTAMINATE_SQL, DOC_REPETITION_SQL,
+        DOC_SAMPLE_STRATIFIED_SQL)
     out["doc_decontaminate"] = DOC_DECONTAMINATE_SQL
     out["doc_repetition"] = DOC_REPETITION_SQL
+    out["doc_sample_stratified"] = DOC_SAMPLE_STRATIFIED_SQL
     return out

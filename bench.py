@@ -150,6 +150,7 @@ def run_queries(sf_dir: str) -> dict:
         "stopwords_global_ss",
         "dedup_components", "events_hourly_hll",
         "dedup_canonical", "doc_decontaminate", "doc_repetition",
+        "doc_sample_stratified",
     ]
     qs = E.queries()
     out = {}

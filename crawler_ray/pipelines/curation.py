@@ -34,8 +34,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["dedup_canonical", "contamination_flags", "repetition_stats",
-           "default_bench_strings", "DOC_DECONTAMINATE_SQL",
-           "DOC_REPETITION_SQL"]
+           "stratified_sample", "default_bench_strings",
+           "DOC_DECONTAMINATE_SQL", "DOC_REPETITION_SQL",
+           "DOC_SAMPLE_STRATIFIED_SQL"]
 
 
 # --------------------------------------------------------------------------
@@ -223,6 +224,87 @@ SELECT wf.doc_id, wf.dup_word_frac,
        coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac
 FROM wf LEFT JOIN bf USING (doc_id)
 """
+
+
+STRAT_K = 10
+
+DOC_SAMPLE_STRATIFIED_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= {STRAT_K}
+"""
+
+
+def stratified_sample(docs: "ray.data.Dataset", k: int = STRAT_K
+                      ) -> "ray.data.Dataset":
+    """Per-source quota sampling: the k hash-first documents of every
+    source (md5 of the id — deterministic across runs, partitionings
+    and engines, like :func:`analytics.doc_sample_query`'s Bernoulli
+    variant, but with an EXACT per-stratum count — the shape a
+    data-mixing recipe needs: "n docs per domain", not "p % of each").
+
+    Scale shape: a per-block partial top-k bounds what shuffles at
+    ``k × sources`` rows per block (ids + 16-char hash prefixes, no
+    text); the final per-source reduce walks a 64-way coarse-hash
+    group. The rejected mass never leaves its block.
+    """
+    import hashlib as _hl
+    from zlib import crc32 as _crc32
+
+    from crawler_ray.dedup import _grouped_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        h = np.array([_hl.md5(str(i).encode()).hexdigest()
+                      for i in ids], dtype=object)
+        order = np.lexsort((ids, h, src))
+        src_s, ids_s, h_s = src[order], ids[order], h[order]
+        # rank within each source run; keep rank < k
+        starts = np.ones(len(src_s), dtype=bool)
+        starts[1:] = src_s[1:] != src_s[:-1]
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        rank = np.arange(len(src_s)) - run_start[run_id]
+        keep = rank < k
+        return pa.table({
+            "doc_id": pa.array(ids_s[keep], pa.int64()),
+            "source": pa.array(src_s[keep], pa.string()),
+            "h": pa.array(h_s[keep], pa.string()),
+            # deterministic coarse key: Python's hash() is salted per
+            # process, which would split one source across buckets and
+            # turn the per-bucket top-k into a union of partial top-ks
+            "coarse": pa.array([_crc32(s.encode()) % 64
+                                for s in src_s[keep]], pa.int64()),
+        })
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        src = g["source"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, src))
+        src_s, ids_s = src[order], ids[order]
+        starts = np.ones(len(src_s), dtype=bool)
+        starts[1:] = src_s[1:] != src_s[:-1]
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        rank = np.arange(len(src_s)) - run_start[run_id]
+        keep = rank < k
+        return pa.table({
+            "doc_id": pa.array(ids_s[keep], pa.int64()),
+            "source": pa.array(src_s[keep], pa.string()),
+        })
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string())})
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    return _grouped_apply(partials, "coarse", reduce_bucket, empty=empty,
+                          group_format="pyarrow")
 
 
 def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":

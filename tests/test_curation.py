@@ -85,3 +85,26 @@ def test_default_bench_strings_match_sql_slice(ray_session, tmp_path):
           AND length(text) >= {BENCH_OFF + BENCH_LEN}
     """).fetchall()]
     assert got == want and len(got) == 4   # ids 0, 97, 194, 291
+
+
+def test_stratified_sample_exact_quota_multiblock(ray_session):
+    """Quota holds across many small blocks: the per-block partial
+    top-k plus the per-source reduce must agree with the global
+    hash-first-k, regardless of partitioning."""
+    import hashlib
+
+    from crawler_ray.pipelines.curation import stratified_sample
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(9)                    # force multi-block partials
+    got = stratified_sample(ds, k=4).to_pandas()
+    assert got.groupby("source").size().to_dict() == {
+        "src0": 4, "src1": 4, "src2": 4}
+    # matches the global hash-first-k rule exactly
+    for s in ("src0", "src1", "src2"):
+        ids = [i for i, src in rows if src == s]
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
+        assert sorted(got[got["source"] == s]["doc_id"]) == sorted(want)
