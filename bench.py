@@ -291,7 +291,12 @@ def main() -> None:
     ns = _n_shards(cpus)
     _ensure_fixture("bench", ns)
     _warmup()
-    crawl = _crawl("bench", f"crawl_{cpus}", n_shards=ns)
+    # median of 3 crawl trials: the headline number must not ride one
+    # draw of the VM's ±25% wall-clock drift
+    crawl_trials = sorted(
+        (_crawl("bench", f"crawl_{cpus}_{t}", n_shards=ns)
+         for t in range(3)), key=lambda c: c["sec"])
+    crawl = crawl_trials[1]
     queries = run_queries(sf_dir)
     recall = knn_recall(sf_dir)
     recall_ivf = knn_recall(sf_dir, "knn_ivf")
@@ -304,6 +309,7 @@ def main() -> None:
         "queries": queries, "sf": sf, "num_cpus": cpus,
         "crawl_urls_per_sec": crawl["urls_per_sec"],
         "crawl": crawl,
+        "crawl_trial_secs": [c["sec"] for c in crawl_trials],
         "knn_lsh_recall_at_10": recall,
         "knn_ivf_recall_at_10": recall_ivf,
         "embedding_lsh_pair_recall": dedup_recall,
