@@ -8,17 +8,20 @@ Default mode (one JSON line on stdout):
   - the query suite over ``$GRAFT_SF_DIR`` (default
     /root/testdata/sf0.1) — one wall-clock per query.
 
-``--scaling``: runs the frontier DRAIN at 8 and 32 CPUs in FRESH
-processes (sandbox stand-in for N vs 4N nodes, per the build
-contract): a 1.35M-URL frontier (every page of the 1.5M-page "scale"
-fixture — a mid-crawl wide-frontier state, bootstrapped once via
+``--scaling``: runs the frontier DRAIN at two CPU levels (``--levels
+N,4N``, default 8,32) in FRESH taskset-pinned processes (sandbox
+stand-in for N vs 4N nodes, per the build contract): a wide frontier
+(every page of the drain fixture — ``--scale-tier scale`` = 1.35M
+URLs / ~20 s window, ``scale4`` = 4.09M URLs / >=60 s window at 16
+CPUs — a mid-crawl state bootstrapped once via
 ``run_crawl(seed_only=True)`` and restored from its epoch-0
-checkpoint) is crawled to empty under politeness windows. Reports
-both throughputs + efficiency ``(urls/s @32) / (urls/s @8) / 4``,
-median of 3 trials per level. Each process does a small warm-up crawl
-first so steady-state throughput is measured, not Ray worker spawn.
-The measurable ceiling on this box is ~0.78 (scripts/hw_ceiling.py:
-shared memory bus); results land in BASELINE.md.
+checkpoint) is crawled to empty under politeness windows. Levels are
+INTERLEAVED across trials so box drift cancels out of the ratio.
+Reports median throughputs + efficiency, plus a secondary
+``loop_only_efficiency`` that excludes the one-time disk-bound
+restore barrier. The measurable ceiling on this box varies with its
+load phase (scripts/hw_ceiling.py: shared memory bus — 0.63-0.88
+across sessions on the 4→16 pair); results land in BASELINE.md.
 
 ``--crawl-only --cpus N --tier scale``: single timed crawl (used by
 --scaling's subprocesses).
@@ -126,6 +129,7 @@ def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
     return {"tier": tier, "sec": round(wall, 2),
             "urls_fetched": s["urls_fetched"],
             "urls_per_sec": round(s["urls_fetched"] / wall, 1),
+            "setup_s": s.get("setup_s"), "loop_s": s.get("loop_s"),
             "waves": s["waves"], "windows": s["windows"]}
 
 
@@ -222,6 +226,7 @@ def main() -> None:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         lo_cpus, hi_cpus = (int(x) for x in args.levels.split(","))
         trial_secs = {lo_cpus: [], hi_cpus: []}
+        loop_secs = {lo_cpus: [], hi_cpus: []}
         urls = None
         for t in range(args.trials):
             for cpus in (lo_cpus, hi_cpus):
@@ -237,10 +242,17 @@ def main() -> None:
                     sys.exit(1)
                 r = json.loads(p.stdout.strip().splitlines()[-1])
                 trial_secs[cpus].append(r["crawl"]["sec"])
+                loop_secs[cpus].append(r["crawl"].get("loop_s")
+                                       or r["crawl"]["sec"])
                 urls = r["crawl"]["urls_fetched"]
         med = {c: sorted(s)[len(s) // 2] for c, s in trial_secs.items()}
         ups = {c: round(urls / med[c], 1) for c in med}
         eff = (ups[hi_cpus] / ups[lo_cpus]) / (hi_cpus / lo_cpus)
+        # secondary: drain-loop-only efficiency — excludes the one-time
+        # disk-bound restore barrier, which is ~constant across CPU
+        # levels on one box but per-node-parallel on a real cluster
+        lmed = {c: sorted(s)[len(s) // 2] for c, s in loop_secs.items()}
+        loop_eff = (lmed[lo_cpus] / lmed[hi_cpus]) / (hi_cpus / lo_cpus)
         print(json.dumps({
             "metric": f"frontier-drain scaling efficiency ({lo_cpus} -> "
                       f"{hi_cpus} CPUs, fresh taskset-pinned processes, "
@@ -252,6 +264,9 @@ def main() -> None:
             f"sec_{lo_cpus}": med[lo_cpus], f"sec_{hi_cpus}": med[hi_cpus],
             f"trial_secs_{lo_cpus}": trial_secs[lo_cpus],
             f"trial_secs_{hi_cpus}": trial_secs[hi_cpus],
+            "loop_only_efficiency": round(loop_eff, 3),
+            f"loop_secs_{lo_cpus}": loop_secs[lo_cpus],
+            f"loop_secs_{hi_cpus}": loop_secs[hi_cpus],
             "urls_fetched": urls,
         }))
         return

@@ -594,6 +594,12 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         "out_dir": out_dir,
         "waves": wave,
         "windows": window + 1,
+        # measurement transparency for the scaling bench: setup is the
+        # one-time parallel restore/load barrier (disk-bound, ~constant
+        # across CPU levels on one box — per-node-parallel on a real
+        # cluster); loop_s is the drain itself
+        "setup_s": round(phase["setup_total"], 3),
+        "loop_s": round(phase["loop_total"], 3),
         "urls_fetched": pop_rank,
         "seen_size": sum(s["size"] for s in seen_stats),
         "robots_excluded": sum(s["robots_excluded"] for s in seen_stats),

@@ -2166,8 +2166,6 @@ class _HungaryListing(HTMLParser):
                 if title and self._row_href:
                     self.results.append((title, iso, self._row_href))
                 self._box_depth = None
-            elif self._in_footer and "sectiontablefooter":
-                pass
         self._depth -= 1
 
     def handle_data(self, data):
