@@ -159,6 +159,13 @@ def _doc_repetition(sf_dir: str):
     return repetition_stats(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _doc_normalize(sf_dir: str):
+    """Curation: canonical text form (lower + NFC + whitespace
+    collapse) — all Arrow kernels, no Python in the loop."""
+    from crawler_ray.pipelines.curation import normalize_text
+    return normalize_text(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _doc_sample_stratified(sf_dir: str):
     """Curation: exact per-source quota sampling (k hash-first docs
     per source) — block-local top-k partials, only k x sources rows
@@ -286,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": _doc_decontaminate,
         "doc_repetition": _doc_repetition,
         "doc_sample_stratified": _doc_sample_stratified,
+        "doc_normalize": _doc_normalize,
         # dedup family
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -445,9 +453,10 @@ r AS (SELECT component, doc_id,
 SELECT component, doc_id AS keep_id FROM r WHERE rk = 1
 """
     from crawler_ray.pipelines.curation import (
-        DOC_DECONTAMINATE_SQL, DOC_REPETITION_SQL,
+        DOC_DECONTAMINATE_SQL, DOC_NORMALIZE_SQL, DOC_REPETITION_SQL,
         DOC_SAMPLE_STRATIFIED_SQL)
     out["doc_decontaminate"] = DOC_DECONTAMINATE_SQL
     out["doc_repetition"] = DOC_REPETITION_SQL
     out["doc_sample_stratified"] = DOC_SAMPLE_STRATIFIED_SQL
+    out["doc_normalize"] = DOC_NORMALIZE_SQL
     return out

@@ -154,7 +154,7 @@ def run_queries(sf_dir: str) -> dict:
         "stopwords_global_ss",
         "dedup_components", "events_hourly_hll",
         "dedup_canonical", "doc_decontaminate", "doc_repetition",
-        "doc_sample_stratified",
+        "doc_sample_stratified", "doc_normalize",
     ]
     qs = E.queries()
     out = {}

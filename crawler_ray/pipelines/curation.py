@@ -34,9 +34,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["dedup_canonical", "contamination_flags", "repetition_stats",
-           "stratified_sample", "default_bench_strings",
+           "stratified_sample", "normalize_text",
+           "default_bench_strings",
            "DOC_DECONTAMINATE_SQL", "DOC_REPETITION_SQL",
-           "DOC_SAMPLE_STRATIFIED_SQL"]
+           "DOC_SAMPLE_STRATIFIED_SQL", "DOC_NORMALIZE_SQL"]
 
 
 # --------------------------------------------------------------------------
@@ -224,6 +225,53 @@ SELECT wf.doc_id, wf.dup_word_frac,
        coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac
 FROM wf LEFT JOIN bf USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Text normalization (the pre-dedup canonical form)
+# --------------------------------------------------------------------------
+
+DOC_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(lower(coalesce(text, ''))),
+                           '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, norm_text): lowercase → Unicode NFC → whitespace
+    collapse → trim. The canonical form fed to exact/near dedup so
+    that case, combining-character encoding and spacing differences
+    stop defeating hash equality.
+
+    NFC caveat measured on this pyarrow: ``pc.utf8_normalize(form=
+    "NFC")`` does NOT compose combining sequences (e + U+0301 stays
+    two codepoints) while DuckDB's ``nfc_normalize`` (and stdlib
+    ``unicodedata``) compose to U+00E9 — a silent dedup-divergence on
+    any non-ASCII corpus. So: ASCII rows (the overwhelming bulk of a
+    webtext corpus after extraction) take the all-Arrow path, and only
+    rows that actually contain non-ASCII bytes detour through stdlib
+    NFC — vectorized mask, per-row Python only on the minority that
+    needs it."""
+    import unicodedata as _ud
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.utf8_lower(t)
+        non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+        if pc.any(non_ascii).as_py():
+            vals = t.to_pylist()
+            mask = non_ascii.to_pylist() if hasattr(non_ascii, "to_pylist") \
+                else non_ascii.to_pandas().tolist()
+            t = pa.array([
+                _ud.normalize("NFC", v) if m else v
+                for v, m in zip(vals, mask)], pa.string())
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(t, r"\s+", " "))
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+    return docs.map_batches(norm, batch_format="pyarrow")
 
 
 STRAT_K = 10

@@ -108,3 +108,14 @@ def test_stratified_sample_exact_quota_multiblock(ray_session):
         want = sorted(ids, key=lambda i: (
             hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
         assert sorted(got[got["source"] == s]["doc_id"]) == sorted(want)
+
+
+def test_normalize_text_unicode_and_whitespace(ray_session):
+    from crawler_ray.pipelines.curation import normalize_text
+    # NFD 'é' (e + combining acute) must normalize to the NFC 'é'
+    nfd = "Café   X"
+    docs = _docs_ds([(1, "  HeLLo   WORLD  "), (2, nfd), (3, None)])
+    df = normalize_text(docs).to_pandas().set_index("doc_id")
+    assert df.loc[1, "norm_text"] == "hello world"
+    assert df.loc[2, "norm_text"] == "café x"      # NFC, collapsed
+    assert df.loc[3, "norm_text"] == ""                 # null-safe
