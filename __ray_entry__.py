@@ -99,6 +99,17 @@ def _dedup_exact(sf_dir: str):
     return exact_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _dedup_exact_normalized(sf_dir: str):
+    """Composition: normalize → exact dedup. The normalized canonical
+    form is what a real pipeline hashes (case/NFC/whitespace variants
+    collapse into one group); both stages stream — the normalize map
+    fuses ahead of the dedup's coarse-hash shuffle."""
+    from crawler_ray.dedup import exact_dedup
+    from crawler_ray.pipelines.curation import normalize_text
+    norm = normalize_text(_ds(sf_dir, "documents", ["doc_id", "text"]))
+    return exact_dedup(norm, text_col="norm_text")
+
+
 def _dedup_minhash(sf_dir: str):
     from crawler_ray.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_ds(sf_dir, "documents", ["doc_id", "text"]),
@@ -296,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": _doc_normalize,
         # dedup family
         "dedup_exact": _dedup_exact,
+        "dedup_exact_normalized": _dedup_exact_normalized,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
@@ -352,6 +364,19 @@ def oracle_sql() -> dict[str, str]:
 SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
        count(*) AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+        # normalize -> exact dedup composition (curation.normalize_text
+        # semantics inlined)
+        "dedup_exact_normalized": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(lower(coalesce(text, ''))),
+                             '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT md5(norm_text) AS content_md5, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM n GROUP BY md5(norm_text)
 """,
         # exact k=5-byte-shingle Jaccard (texts are ASCII at test sf,
         # so char substrings == byte shingles; docs shorter than k
