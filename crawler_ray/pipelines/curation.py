@@ -142,11 +142,16 @@ WITH bench AS (
     AND length(text) >= {BENCH_OFF + BENCH_LEN}
 )
 SELECT d.doc_id,
-       CAST(max(CASE WHEN position(b.s IN d.text) > 0
-                     THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
-FROM documents d CROSS JOIN bench b
+       CAST(coalesce(max(CASE WHEN position(b.s IN d.text) > 0
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN bench b ON TRUE
 GROUP BY d.doc_id
 """
+# LEFT JOIN ON TRUE (not CROSS JOIN): an EMPTY probe set must still
+# yield one all-zeros row per document, matching contamination_flags
+# with bench_strings=[] — a CROSS JOIN against an empty bench returns
+# zero rows and would hash-mismatch the engine.
 
 
 def contamination_flags(docs: "ray.data.Dataset",
@@ -176,21 +181,25 @@ def contamination_flags(docs: "ray.data.Dataset",
 
 def default_bench_strings(sf_dir: str) -> list[str]:
     """The deterministic probe set (matches ``DOC_DECONTAMINATE_SQL``'s
-    bench CTE): read ONLY the strided rows' text, slice driver-side —
-    the small side of a broadcast, like the nation dim in
-    ``revenue_by_nation``."""
+    bench CTE). The stride predicate is not parquet-pushdownable, so
+    the read STREAMS record batches and keeps only the 1-in-97 strided
+    rows' slices — driver memory stays at one batch + the probe list,
+    never the corpus text column."""
     import os
 
     import pyarrow.parquet as pq
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    keep = ids % BENCH_STRIDE == 0
-    out = []
-    for s in pc.array_filter(t["text"], pa.array(keep)).to_pylist():
-        s = s or ""
-        if len(s) >= BENCH_OFF + BENCH_LEN:
-            out.append(s[BENCH_OFF:BENCH_OFF + BENCH_LEN])
+    out: list[str] = []
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    for batch in pf.iter_batches(batch_size=8192,
+                                 columns=["doc_id", "text"]):
+        ids = batch.column(0).to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(ids % BENCH_STRIDE == 0)
+        if len(keep) == 0:
+            continue
+        for s in batch.column(1).take(pa.array(keep)).to_pylist():
+            s = s or ""
+            if len(s) >= BENCH_OFF + BENCH_LEN:
+                out.append(s[BENCH_OFF:BENCH_OFF + BENCH_LEN])
     return out
 
 
@@ -261,12 +270,17 @@ def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         t = pc.utf8_lower(t)
         non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
         if pc.any(non_ascii).as_py():
-            vals = t.to_pylist()
-            mask = non_ascii.to_pylist() if hasattr(non_ascii, "to_pylist") \
-                else non_ascii.to_pandas().tolist()
-            t = pa.array([
-                _ud.normalize("NFC", v) if m else v
-                for v, m in zip(vals, mask)], pa.string())
+            # only the non-ASCII rows detour through stdlib NFC; the
+            # ASCII majority stays in the Arrow array and the fixed
+            # rows scatter back via replace_with_mask
+            t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+            mask = non_ascii.combine_chunks() \
+                if isinstance(non_ascii, pa.ChunkedArray) else non_ascii
+            idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            fixed = pa.array([
+                _ud.normalize("NFC", v)
+                for v in t.take(pa.array(idx)).to_pylist()], pa.string())
+            t = pc.replace_with_mask(t, mask, fixed)
         t = pc.utf8_trim_whitespace(
             pc.replace_substring_regex(t, r"\s+", " "))
         return pa.table({"doc_id": batch["doc_id"], "norm_text": t})

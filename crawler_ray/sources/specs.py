@@ -2428,7 +2428,10 @@ class _EstoniaDocList(HTMLParser):
     inside ``div.field-item.even``; instructions (estonia:164-188)
     list ``tbody > tr`` rows whose year is the last digit-only
     ``<td>`` and whose link ``<td>`` carries title+href, with the
-    cooperation-section sentinel cell ending the row scan."""
+    cooperation-section sentinel cell ending THAT ROW's cell scan
+    (estonia:172-175 ``break``s the per-td loop — later rows still
+    scan; a row whose cells before the sentinel carried no year is
+    skipped by the ``len(year_list) == 0`` guard)."""
 
     SENTINEL = "Teiste asutustega koostöös loodud juhendid"
 
@@ -2442,6 +2445,7 @@ class _EstoniaDocList(HTMLParser):
         self._p_href: str | None = None
         self._p_text: list[str] = []
         self._in_tbody = self._in_tr = self._in_td = False
+        self._row_stopped = False      # sentinel hit within this row
         self._td_texts: list[str] = []
         self._td_cur: list[str] = []
         self._tr_href: str | None = None
@@ -2463,8 +2467,9 @@ class _EstoniaDocList(HTMLParser):
             self._in_tbody = True
         elif tag == "tr" and self._in_tbody:
             self._in_tr = True
+            self._row_stopped = False
             self._td_texts, self._tr_href, self._tr_title = [], None, []
-        elif tag == "td" and self._in_tr:
+        elif tag == "td" and self._in_tr and not self._row_stopped:
             self._in_td = True
             self._td_cur, self._td_has_a = [], False
         elif tag == "a" and self._in_td:
@@ -2481,14 +2486,18 @@ class _EstoniaDocList(HTMLParser):
         elif tag == "td" and self._in_td:
             self._in_td = False
             if not self._td_has_a:
-                self._td_texts.append(
-                    " ".join("".join(self._td_cur).split()))
+                text = " ".join("".join(self._td_cur).split())
+                if text == self.SENTINEL:
+                    # estonia:172-175 — the sentinel breaks the per-td
+                    # loop: cells AFTER it in this row are ignored,
+                    # the row scan itself continues with the next <tr>
+                    self._row_stopped = True
+                else:
+                    self._td_texts.append(text)
         elif tag == "tr" and self._in_tr:
             self._in_tr = False
-            # estonia:172-189 — sentinel cell ends the scan; year =
-            # last digit-only cell; skip rows without both
-            if self.SENTINEL in self._td_texts:
-                return
+            # year = last digit-only cell seen before any sentinel;
+            # rows without a year (estonia:183-185) are skipped
             years = [t for t in self._td_texts if t.isdigit()]
             title = " ".join("".join(self._tr_title).split())
             if years and title and self._tr_href:
@@ -3201,15 +3210,21 @@ def bulgaria_page_parser(html: bytes | None) -> ParsedPage:
         p.feed(html.decode("utf-8", errors="replace"))
         results, out = [], list(p.page_hrefs)
         for text, href, is_news in p.links:
-            years = [w for w in text.split() if w.isdigit() and len(w) == 4]
-            if years and not is_news:
-                # rubric menu entry (bulgaria:85-91): year-gated fan-out
-                if years[-1] >= "2018":
-                    out.append(href)
-            elif is_news or href.endswith(".pdf") \
-                    or href.startswith("http"):
+            # document rows FIRST: news h6 links, direct .pdf files and
+            # external http links are always results — a year in a
+            # document's own title (annual reports!) must not reroute
+            # it into the menu fan-out
+            if is_news or href.endswith(".pdf") or href.startswith("http"):
                 if len(text) != 1:                    # bulgaria:111-113
                     results.append((text, "", href))
+                continue
+            years = [w for w in text.split() if w.isdigit() and len(w) == 4]
+            if years:
+                # rubric menu entry (bulgaria:85-91 — relative
+                # index.php rubric links titled with their year):
+                # year-gated fan-out
+                if years[-1] >= "2018":
+                    out.append(href)
         if results or out:
             return ParsedPage(kind="listing", results=results,
                               out_links=out)
@@ -3503,10 +3518,16 @@ class _SlovakiaListing(HTMLParser):
             self._in_pager = False
         elif tag == "div" and self._file_depth == self._depth:
             title = " ".join("".join(self._row_title).split())
-            # slovakia:93-104 — the any-token year gate
+            # slovakia:93-104 — the any-token year gate, BOTH halves:
+            # a digit token < 2018 invalidates (slovakia:96-99), and
+            # so does any token whose '-'-prefix compares
+            # lexicographically below "2018" (slovakia:100-104 —
+            # catches '2016-12' and, bug-for-bug with the reference,
+            # any token starting with '0' or '1')
             valid = True
             for w in title.split():
-                if w.isdigit() and int(w) < 2018:
+                if (w.isdigit() and int(w) < 2018) \
+                        or w.split("-")[0] < "2018":
                     valid = False
                     break
             if valid and title and self._row_href:
@@ -3552,7 +3573,9 @@ class _SloveniaListing(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.results: list[tuple[str, str, str]] = []
         self.next_href: str | None = None
-        self._in_list = False
+        self._depth = 0
+        self._list_depth: int | None = None  # depth-tracked: nested
+        # divs inside the results list must not end the scan
         self._in_tr = False
         self._td_align: str | None = None
         self._row_date: list[str] = []
@@ -3560,10 +3583,16 @@ class _SloveniaListing(HTMLParser):
         self._row_href: str | None = None
         self._in_next = False
 
+    @property
+    def _in_list(self) -> bool:
+        return self._list_depth is not None
+
     def handle_starttag(self, tag, attrs):
+        self._depth += 1
         cls = _classes(attrs)
-        if tag == "div" and "advsea-results-list" in cls:
-            self._in_list = True
+        if tag == "div" and "advsea-results-list" in cls \
+                and self._list_depth is None:
+            self._list_depth = self._depth
         elif tag == "tr" and self._in_list:
             self._in_tr = True
             self._row_date, self._row_title = [], []
@@ -3596,8 +3625,9 @@ class _SloveniaListing(HTMLParser):
             date = " ".join("".join(self._row_date).split())
             if title and self._row_href and date:
                 self.results.append((title, date, self._row_href))
-        elif tag == "div":
-            self._in_list = False
+        elif tag == "div" and self._list_depth == self._depth:
+            self._list_depth = None
+        self._depth -= 1
 
     def handle_data(self, data):
         if self._td_align == "center":
@@ -3794,7 +3824,8 @@ class _CzechListing(HTMLParser):
         self.results: list[tuple[str, str, str]] = []
         self.page_hrefs: list[str] = []
         self._depth = 0
-        self._in_ui = False
+        self._ui_depth: int | None = None   # depth-tracked: a nested
+        # <ul> inside a row's <li> must not end the ui scan
         self._li_depth: int | None = None
         self._in_a = self._in_div = False
         self._row_href: str | None = None
@@ -3802,11 +3833,15 @@ class _CzechListing(HTMLParser):
         self._row_meta: list[str] = []
         self._in_pager = False
 
+    @property
+    def _in_ui(self) -> bool:
+        return self._ui_depth is not None
+
     def handle_starttag(self, tag, attrs):
         self._depth += 1
         cls = _classes(attrs)
-        if tag == "ul" and "ui" in cls:
-            self._in_ui = True
+        if tag == "ul" and "ui" in cls and self._ui_depth is None:
+            self._ui_depth = self._depth
         elif tag == "li" and self._in_ui and self._li_depth is None:
             self._li_depth = self._depth
             self._row_href, self._row_title, self._row_meta = None, [], []
@@ -3837,8 +3872,8 @@ class _CzechListing(HTMLParser):
             if title and self._row_href:
                 self.results.append((title, iso, self._row_href))
             self._li_depth = None
-        elif tag == "ul":
-            self._in_ui = False
+        elif tag == "ul" and self._ui_depth == self._depth:
+            self._ui_depth = None
         self._depth -= 1
 
     def handle_data(self, data):

@@ -2449,3 +2449,62 @@ def test_slovakia_slovenia_malta_czech_parsers_standalone():
     assert czd.kind == "detail"
     assert czd.text.split("\n")[:2] == ["Z1", "Released 2021-03-15"]
     assert czd.out_links == ["/assets/File.ashx?id=1"]
+
+
+def test_parser_nesting_and_gate_regressions():
+    """Round-3 review repros: container depth-tracking and row gates.
+
+    - Estonia: the cooperation sentinel ends only THAT ROW's cell scan
+      (estonia:172-175 breaks the per-td loop); later rows still scan,
+      and cells after the sentinel are ignored.
+    - Bulgaria: a year in a DOCUMENT's own title (annual reports) must
+      not reroute it into the rubric fan-out.
+    - Czech/Slovenia: a nested <ul>/<div> inside the results container
+      must not end the scan.
+    - Slovakia: the reference's second gate (any token whose
+      '-'-prefix compares below '2018', slovakia:100-104).
+    """
+    from crawler_ray.sources.specs import (bulgaria_page_parser,
+                                           czech_page_parser,
+                                           estonia_page_parser,
+                                           slovakia_page_parser,
+                                           slovenia_page_parser)
+
+    ee = estonia_page_parser(_ee_instructions([
+        [("A", "/f/a.pdf"), "2020"],
+        ["Teiste asutustega koostöös loodud juhendid",
+         ("Coop", "/f/coop.pdf"), "2021"],
+        [("B", "/f/b.pdf"), "2019"],
+    ]))
+    hrefs = [h for _, _, h in ee.results]
+    assert "/f/a.pdf" in hrefs and "/f/b.pdf" in hrefs
+    assert "/f/coop.pdf" not in hrefs
+
+    bg = bulgaria_page_parser(_bg_sublisting(
+        links=[("Annual report 2020", "/docs/report2020.pdf")]))
+    assert ("Annual report 2020", "", "/docs/report2020.pdf") \
+        in bg.results
+    assert bg.out_links == []
+
+    cz = czech_page_parser(
+        b'<html><body><div class="obsah"><ul class="ui">'
+        b'<li><a href="/tz/a">A</a><div>15. 3. 2021 - x</div>'
+        b'<ul><li>sub</li></ul></li>'
+        b'<li><a href="/tz/b">B</a><div>9. 6. 2020 - y</div></li>'
+        b"</ul></div></body></html>")
+    assert len(cz.results) == 2
+
+    si = slovenia_page_parser(
+        b'<html><body><div class="page pr"><article class="c9">'
+        b'<div class="advsea-results-list"><div class="inner">'
+        b"<table><tr><th>h</th></tr>"
+        b'<tr><td align="center">9.6.2021</td>'
+        b'<td align="left"><a href="m/1">Op 1</a></td></tr></table></div>'
+        b'<table><tr><td align="center">2.2.2020</td>'
+        b'<td align="left"><a href="m/2">Op 2</a></td></tr></table>'
+        b"</div></article></div></body></html>")
+    assert len(si.results) == 2
+
+    sk = slovakia_page_parser(_sk_listing(
+        [("Sprava 2016-12", "/f/x.pdf"), ("Metodika 2021", "/f/y.pdf")]))
+    assert [r[2] for r in sk.results] == ["/f/y.pdf"]
