@@ -143,10 +143,16 @@ def _grouped_apply(ds: "ray.data.Dataset", key: str, fn,
     a ZERO-COLUMN block for every empty sort partition, so downstream
     operators see divergent schemas — streaming-executor RefBundle
     warnings, and type surprises in ``union``. This is the same sort +
-    contiguous-run walk, except empty partitions emit ``empty`` (a
-    zero-row Arrow table carrying the real output schema) and every
-    group result is normalized to that schema (column order + types):
-    exactly ONE schema leaves the stage.
+    contiguous-run walk, except empty partitions that DO reach the UDF
+    emit ``empty`` (a zero-row Arrow table carrying the real output
+    schema) and every group result is normalized to that schema
+    (column order + types). Caveat: Ray's all-to-all boundary can
+    forward schema-less empty blocks WITHOUT invoking any downstream
+    UDF (see ``crawler_ray.suppress_empty_schema_divergence_warning``)
+    — those are unreachable from user code, which is why the log
+    filter exists alongside this normalization rather than instead of
+    it: this stage guarantees one schema for every block it is ASKED
+    to produce.
 
     ``fn`` receives each group (all rows of one ``key`` value) as a
     pandas DataFrame, or as a zero-copy Arrow table slice with

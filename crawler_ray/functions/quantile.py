@@ -68,8 +68,22 @@ def exact_kth_value(ds: "object", col: str, k) -> float:
     count_below = 0                       # values < current range
 
     while True:
-        if lo == hi or np.nextafter(lo, hi) >= hi:
+        if lo == hi:
             return lo                      # degenerate range: one value
+        if np.nextafter(lo, hi) >= hi:
+            # exactly TWO representable floats remain; the answer is
+            # lo only while the rank falls among the lo-values — one
+            # counting pass decides (returning lo unconditionally here
+            # mismatched DuckDB on near-constant columns, e.g.
+            # [1.0 x2, nextafter(1.0) x8] at q=0.9)
+            def count_lo(batch: pa.Table, lo=lo) -> pa.Table:
+                v = _col_f64(batch, col)
+                return pa.table({"c": pa.array([int((v == lo).sum())],
+                                               pa.int64())})
+
+            n_lo = int(ds.map_batches(count_lo, batch_format="pyarrow")
+                       .to_pandas()["c"].sum())
+            return lo if k - count_below < n_lo else hi
         edges = np.linspace(lo, hi, N_BUCKETS + 1)
 
         def histo(batch: pa.Table, edges=edges, lo=lo, hi=hi) -> pa.Table:

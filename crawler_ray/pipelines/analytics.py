@@ -292,17 +292,29 @@ def revenue_by_nation(sf_dir: str,
         oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         oord = np.argsort(ok)
         ok, oc = ok[oord], oc[oord]
+        # verified probes — inner-join semantics: an order whose
+        # custkey is absent from customer gets sentinel -1 (clamped
+        # searchsorted alone would silently credit the revenue to the
+        # NEAREST key's nation on any input without perfect FKs)
         cidx = np.minimum(np.searchsorted(ck, oc), len(ck) - 1)
-        onat = np.minimum(np.searchsorted(nk, cn[cidx]), len(nk) - 1
-                          ).astype(np.int32)   # nation index per order
+        nidx = np.minimum(np.searchsorted(nk, cn[cidx]), len(nk) - 1
+                          ).astype(np.int32)
+        onat = np.where((ck[cidx] == oc) & (nk[nidx] == cn[cidx]),
+                        nidx, np.int32(-1))    # nation index per order
         lookup_ref = ray.put((ok, onat))
 
         def li_to_nation(batch: pa.Table) -> pa.Table:
             oks, onats = ray.get(lookup_ref)
             keys = batch["l_orderkey"].to_numpy(zero_copy_only=False
                                                 ).astype(np.int64)
-            ni = onats[np.minimum(np.searchsorted(oks, keys),
-                                  len(oks) - 1)]
+            pos = np.minimum(np.searchsorted(oks, keys), len(oks) - 1)
+            ni = onats[pos]
+            # drop rows whose orderkey misses orders, or whose order
+            # carried the missing-customer sentinel (inner join)
+            keep = (oks[pos] == keys) & (ni >= 0)
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                ni = ni[keep]
             ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = batch["l_discount"].to_numpy(zero_copy_only=False)
             # int64-exact partial sums per nation (pandas C groupby;
@@ -365,6 +377,10 @@ def revenue_by_nation(sf_dir: str,
             ok = batch["o_custkey"].to_numpy(zero_copy_only=False
                                              ).astype(np.int64)
             idx = np.minimum(np.searchsorted(cks, ok), len(cks) - 1)
+            keep = cks[idx] == ok         # inner-join: drop missing FKs
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                idx = idx[keep]
             df = pd.DataFrame({
                 "nation": nation_of(cns[idx]),
                 "rev4": batch["rev4"].to_numpy(zero_copy_only=False),

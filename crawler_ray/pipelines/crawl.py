@@ -119,8 +119,8 @@ def _render_rows(t: pa.Table, render_hosts, actors: list,
     """Route the slice's script-driven rows (host ∈ render_hosts)
     through one warm render actor — S3 in the crawl path. Only the
     needing rows ship; the rendered html splices back by position.
-    Actor choice is deterministic (salt = slice start) so replays
-    pick the same browser."""
+    Actor choice is deterministic (salt = the wave-wide task ordinal)
+    so replays pick the same browser."""
     from crawler_ray.urlnorm import host_of
     hosts = (t["host"].to_pylist() if "host" in t.column_names
              else [host_of(u) for u in t["url"].to_pylist()])
@@ -140,7 +140,8 @@ def _render_rows(t: pa.Table, render_hosts, actors: list,
 
 @ray.remote
 def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
-                wave: int, ctx: dict) -> int:
+                wave: int, ctx: dict,
+                salt: int = 0) -> tuple[int, float, float, float]:
     """Stateless parse work-unit: slice of a fetch-shard's joined rows
     → ParseStage → parquet part → wave-tagged candidate fan-out to the
     seen shards (acked: task completion ⇒ this slice's offers are
@@ -169,8 +170,12 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
     sliced = fetched.slice(start, stop - start)
     render_hosts = ctx.get("render_hosts") or ()
     if render_hosts:
+        # salt = the wave-wide task ordinal, NOT the slice start: the
+        # start is always a multiple of the (even) batch size, so
+        # `start % pool_size` pinned every render to actor 0 and the
+        # rest of the warm pool sat idle
         sliced = _render_rows(sliced, render_hosts,
-                              ctx["render_actors"], start)
+                              ctx["render_actors"], salt)
     t0 = time.perf_counter()
     parsed = ParseStage(ctx["now"], registry=ctx["registry"])(sliced)
     t1 = time.perf_counter()
@@ -567,7 +572,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                         fetched_ref, start, stop,
                         os.path.join(tmp_wave,
                                      f"part-{s:05d}-{c:05d}-{b:05d}.parquet"),
-                        wave, ctx_ref))
+                        wave, ctx_ref, len(refs)))
         phase["dispatch"] += time.perf_counter() - t0
         inflight.append((wave, refs, tmp_wave, wave_dir))
         wave += 1

@@ -604,14 +604,20 @@ def france_page_parser(html: bytes | None) -> ParsedPage:
             if not isinstance(text, dict):     # france:114-115
                 return ParsedPage(kind="other")
             title = text.get("titre", "")
-            date = _dt.datetime.utcfromtimestamp(
-                text["datePubli"] / 1000.0).date()     # france:116-118
+            # france:116-118 — ms-epoch datePubli; a payload missing
+            # the field degrades to the NoDate detail contract (empty
+            # Released line → counted, text preserved) instead of
+            # crashing the parse task on a KeyError
+            ms = text.get("datePubli")
+            iso = (_dt.datetime.utcfromtimestamp(ms / 1000.0)
+                   .date().isoformat()
+                   if isinstance(ms, (int, float)) else "")
             from crawler_ray.extract import extract_text
             doc_text = extract_text(
                 text.get("texteHtml", "").encode("utf-8"))
             return ParsedPage(
                 kind="detail",
-                text=f"{title}\nReleased {date.isoformat()}\n{doc_text}")
+                text=f"{title}\nReleased {iso}\n{doc_text}")
         if b"views-row" in html:
             p = _FranceListing()
             p.feed(html.decode("utf-8", errors="replace"))

@@ -347,6 +347,11 @@ def _pdf_apply_cmap(bs: bytes, cmap: tuple[int, dict] | None) -> str:
         return bs.decode("latin-1")
     width, codes = cmap
     n = len(bs) - len(bs) % width
+    if n == 0:
+        # string shorter than the CMap code width (a 1-byte literal in
+        # a 2-byte-code font scope): no code to look up — latin-1, not
+        # the empty string
+        return bs.decode("latin-1")
     toks = [codes.get(int.from_bytes(bs[i:i + width], "big"))
             for i in range(0, n, width)]
     misses = sum(t is None for t in toks)
@@ -449,9 +454,13 @@ class ConvertStage:
         # no extractable text stream (scanned/object-stream PDF): the
         # reference OCRs here (M9, pdf_to_text_service.py:84-88) —
         # route through the injected backend when one exists, else
-        # placeholder (or strict raise)
+        # placeholder (or strict raise). An EMPTY OCR result keeps the
+        # placeholder/strict contract (downstream quality gates key on
+        # it) instead of silently accepting an empty document.
         if self.ocr_fn is not None:
-            return self.ocr_fn(payload), "ocr"
+            ocr_text = self.ocr_fn(payload)
+            if ocr_text:
+                return ocr_text, "ocr"
         return self._placeholder("pdf", payload)
 
     def _docx(self, payload: bytes) -> tuple[str, str]:

@@ -157,6 +157,27 @@ def test_exact_kth_value_random(ray_session):
         assert exact_quantile_disc(ds, "x", q) == srt[k], q
 
 
+def test_exact_kth_two_adjacent_floats(ray_session):
+    """Round-3 review repro: a live range of exactly TWO representable
+    floats must resolve by rank (count of lo values), not return lo
+    unconditionally — [1.0 x2, nextafter(1.0) x8] at q=0.9 is the
+    upper value."""
+    import math
+
+    import pyarrow as _pa
+    import ray as _ray
+
+    from crawler_ray.functions.quantile import exact_quantile_disc
+    hi = np.nextafter(1.0, 2.0)
+    vals = [1.0, 1.0] + [hi] * 8
+    ds = _ray.data.from_arrow(
+        _pa.table({"x": _pa.array(vals, _pa.float64())}))
+    srt = np.sort(np.array(vals))
+    for q in (0.1, 0.2, 0.5, 0.9, 1.0):
+        k = max(0, math.ceil(q * len(vals)) - 1)
+        assert exact_quantile_disc(ds, "x", q) == srt[k], q
+
+
 def test_doc_pack_vs_oracle(ray_session, con):
     """Greedy first-fit packing == the recursive-CTE replay, and the
     per-sequence fill never exceeds the budget (except single
