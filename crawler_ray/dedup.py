@@ -40,10 +40,12 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
 import pyarrow.compute as pc
 import ray
 
 from crawler_ray.functions.textops import shingle_hashes_fast
+from crawler_ray.arrowutil import table_from_pandas as _table_from_pandas
 
 __all__ = [
     "exact_dedup", "MinHashStage", "minhash_lsh_pairs", "SimHashStage",
@@ -177,7 +179,7 @@ def _grouped_apply(ds: "ray.data.Dataset", key: str, fn,
             g = block.slice(lo, hi - lo)
             out = fn(g if arrow_groups else g.to_pandas(), **kw)
             if isinstance(out, pd.DataFrame):
-                out = pa.Table.from_pandas(out, preserve_index=False)
+                out = _table_from_pandas(out)
             if out.schema != schema:
                 out = out.select(names).cast(schema)
             yield out

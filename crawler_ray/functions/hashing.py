@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
-__all__ = ["md5_hex", "md5_hex_many", "composite_doc_key", "doc_key"]
+__all__ = ["md5_hex", "md5_hex_many", "md5_hex_of_ids",
+           "composite_doc_key", "doc_key"]
 
 _CHECK = "ABCDEFGHJKLMNPQRSTVWXYZ"   # document_key_service.py check alphabet shape
 
@@ -29,6 +30,42 @@ def md5_hex(s: str) -> str:
 def md5_hex_many(strings) -> list[str]:
     md5 = hashlib.md5
     return [md5(s.encode("utf-8")).hexdigest() for s in strings]
+
+
+_DUCK = None
+
+
+def md5_hex_of_ids(ids) -> "numpy.ndarray":
+    """Vectorized ``md5(str(id))`` hexdigests for an int64 array.
+
+    md5-of-decimal-id is the engine's cross-engine-reproducible
+    sampling key (it is exactly what the DuckDB oracles compute with
+    ``md5(CAST(doc_id AS VARCHAR))``), so the algorithm is fixed —
+    but a Python ``hashlib`` loop per row was the hot cost of the
+    sampling stages. DuckDB is a baked-in dependency with the same
+    md5 as a C++ table kernel, so the batch is pushed through one
+    in-process DuckDB projection (per-worker cached connection);
+    ``hashlib`` remains as the fallback path.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.asarray(ids, dtype=np.int64)
+    global _DUCK
+    try:
+        import duckdb
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+        t = pa.table({"i": pa.array(ids, pa.int64())})
+        _DUCK.register("_md5_ids", t)
+        out = _DUCK.execute(
+            "SELECT md5(CAST(i AS VARCHAR)) AS h FROM _md5_ids"
+        ).arrow()
+        return out["h"].to_numpy(zero_copy_only=False)
+    except Exception:
+        md5 = hashlib.md5
+        return np.array([md5(str(i).encode()).hexdigest() for i in ids],
+                        dtype=object)
 
 
 def composite_doc_key(doc_hash: str, date_iso: str | None) -> str:

@@ -30,9 +30,11 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
 import pyarrow.compute as pc
 import ray
 
+from crawler_ray.arrowutil import table_from_pandas as _table_from_pandas
 from crawler_ray.functions.textops import (
     ALPHA_RE, DIGIT_RE, EMAIL_RE, IPV4_RE, PHONE_RE, PUNCT_RE, SENT_RE,
     TOKEN_RE, WORD_RE,
@@ -161,7 +163,7 @@ def _q1_partial(batch: pa.Table) -> pa.Table:
     df["disc_pct"] = _cents(disc, 100)
     df["n"] = np.int64(1)
     g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return _table_from_pandas(g)
 
 
 def _q1_final(g: pd.DataFrame) -> pd.DataFrame:
@@ -343,7 +345,7 @@ def revenue_by_nation(sf_dir: str,
             "n": np.int64(1),
         })
         g = df.groupby("l_orderkey", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     li = (_read(sf_dir, "lineitem",
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -361,7 +363,7 @@ def revenue_by_nation(sf_dir: str,
             "n": batch["n"].to_numpy(zero_copy_only=False),
         })
         g = df.groupby("o_custkey", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     if n_cust <= broadcast_max:
         # broadcast path: two sorted int64 arrays, searchsorted probe
@@ -386,7 +388,7 @@ def revenue_by_nation(sf_dir: str,
                 "rev4": batch["rev4"].to_numpy(zero_copy_only=False),
                 "n": batch["n"].to_numpy(zero_copy_only=False)})
             g = df.groupby("nation", as_index=False).sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return _table_from_pandas(g)
 
         j2 = joined.map_batches(cust_partial, batch_format="pyarrow")
     else:
@@ -405,7 +407,7 @@ def revenue_by_nation(sf_dir: str,
                 "rev4": batch["rev4"].to_numpy(zero_copy_only=False),
                 "n": batch["n"].to_numpy(zero_copy_only=False)})
             g = df.groupby("nation", as_index=False).sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return _table_from_pandas(g)
 
     return (j2.map_batches(to_nation, batch_format="pyarrow")
               .groupby("nation").map_groups(final, batch_format="pandas"))
@@ -440,7 +442,7 @@ def top_parts_by_revenue(sf_dir: str) -> pa.Table:
             "rev4": _cents(ext * (1 - disc), 10000)})
         g = df.groupby("partkey", as_index=False).sum()
         g["_c"] = _coarse_of(g["partkey"].to_numpy())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         # one C-speed pandas groupby per coarse group — a raw
@@ -509,7 +511,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
              ^ pd.util.hash_array(p["hour"].to_numpy(object)))
         p["_c"] = (h % np.uint64(_N_KEY_COARSE)).astype(np.int64)
         p["n"] = p["n"].astype(np.int64)
-        return pa.Table.from_pandas(p, preserve_index=False)
+        return _table_from_pandas(p)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby(["event_type", "hour", "user_id"],
@@ -1210,14 +1212,13 @@ def doc_sample_query(sf_dir: str, hex_lt: str = SAMPLE_HEX_LT
     rows. Shuffle-free: the predicate evaluates inside each block;
     at 100 TB it is one streaming pass that never materializes the
     rejected 75 %."""
-    import hashlib as _hl
+    from crawler_ray.functions.hashing import md5_hex_of_ids
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = pa.array([
-            _hl.md5(str(i).encode()).hexdigest()[:2] < hex_lt
-            for i in ids], pa.bool_())
-        return batch.filter(mask)
+        pre = pc.utf8_slice_codeunits(
+            pa.array(md5_hex_of_ids(ids), pa.string()), 0, 2)
+        return batch.filter(pc.less(pre, hex_lt))
 
     return (_read(sf_dir, "documents", columns=["doc_id", "source"])
             .map_batches(keep, batch_format="pyarrow"))
@@ -1402,8 +1403,8 @@ def supplier_region_query(sf_dir: str) -> "ray.data.Dataset":
             "bal_c": _cents(batch["s_acctbal"].to_numpy(zero_copy_only=False),
                             100),
             "n": np.int64(1)})
-        return pa.Table.from_pandas(
-            df.groupby("region", as_index=False).sum(), preserve_index=False)
+        return _table_from_pandas(
+            df.groupby("region", as_index=False).sum())
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         bal = np.int64(g["bal_c"].sum())

@@ -27,10 +27,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
 import ray
 
 from crawler_ray.sinks import render_markdown
 from crawler_ray.stages.parse import ParseStage
+from crawler_ray.arrowutil import table_from_pandas as _table_from_pandas
 
 __all__ = ["conformance_report", "ISSUE_TEMPLATE"]
 
@@ -87,7 +89,7 @@ def conformance_report(pages_path: str, seeds_path: str,
             .groupby("host").size(),
             "seed_seen": df[df.is_seed].groupby("host").size(),
         }).fillna(0).astype(np.int64).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         out = g.drop(columns=["host"]).sum().to_frame().T

@@ -58,10 +58,12 @@ import os
 import shutil
 import time
 from collections import defaultdict
+from crawler_ray.arrowutil import table_from_pandas as _table_from_pandas
 from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
@@ -637,16 +639,31 @@ def finalize_docs(out_dir: str, docs_path: str | None = None
     (oracle rule 8) — shuffle keyed by a coarse hash of doc_key, with
     the per-key idxmin vectorized inside each group (singleton-group
     map_groups overhead lesson, see dedup.py)."""
-    import hashlib as _hl
-
     import pandas as pd
 
     def add_coarse(batch: pa.Table) -> pa.Table:
-        coarse = [int(_hl.blake2b(k.encode(), digest_size=2).hexdigest(),
-                      16) % 64
-                  for k in batch["doc_key"].to_pylist()]
-        return batch.append_column("coarse",
-                                   pa.array(coarse, pa.int64()))
+        # doc_key begins with the 32-hex-char md5(title) (parse.py),
+        # so its first 8 ASCII bytes are uniform over hex digits:
+        # read them as a big-endian u64 and multiplicative-hash to 64
+        # groups (top bits — the low bits of a product depend only on
+        # the low bits of the operand). Identical doc_keys share the
+        # prefix, which is the only correctness requirement here;
+        # a prefix collision merely merges two groups. Fully
+        # vectorized — no per-row Python hashing in the finalize path.
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "coarse", pa.array([], pa.int64()))
+        sl = pc.binary_slice(
+            batch["doc_key"].cast(pa.binary()), 0, 8).combine_chunks()
+        off = np.frombuffer(sl.buffers()[1], np.int32)[
+            sl.offset: sl.offset + len(sl) + 1]
+        data = np.frombuffer(sl.buffers()[2], np.uint8)
+        mat = data[off[:-1, None] + np.arange(8)]
+        v = np.ascontiguousarray(mat).view(">u8").reshape(-1)
+        with np.errstate(over="ignore"):
+            coarse = ((v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(58)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(coarse, pa.int64()))
 
     def first_by_rank(g: pd.DataFrame) -> pd.DataFrame:
         idx = g.groupby("doc_key")["pop_rank"].idxmin()
@@ -678,11 +695,11 @@ def wave_metrics(out_dir: str) -> pa.Table:
             zero_copy_only=False).astype("int64")
         df["rows"] = 1
         g = df.groupby(["wave", "window"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     parts = (parsed_dataset(out_dir)
              .map_batches(agg, batch_format="pyarrow")
              .to_pandas())
     final = parts.groupby(["wave", "window"], as_index=False).sum() \
                  .sort_values("wave")
-    return pa.Table.from_pandas(final, preserve_index=False)
+    return _table_from_pandas(final)

@@ -315,16 +315,15 @@ def stratified_sample(docs: "ray.data.Dataset", k: int = STRAT_K
     text); the final per-source reduce walks a 64-way coarse-hash
     group. The rejected mass never leaves its block.
     """
-    import hashlib as _hl
     from zlib import crc32 as _crc32
 
     from crawler_ray.dedup import _grouped_apply
+    from crawler_ray.functions.hashing import md5_hex_of_ids
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         src = batch["source"].to_numpy(zero_copy_only=False)
-        h = np.array([_hl.md5(str(i).encode()).hexdigest()
-                      for i in ids], dtype=object)
+        h = md5_hex_of_ids(ids)
         order = np.lexsort((ids, h, src))
         src_s, ids_s, h_s = src[order], ids[order], h[order]
         # rank within each source run; keep rank < k
@@ -334,15 +333,21 @@ def stratified_sample(docs: "ray.data.Dataset", k: int = STRAT_K
         run_start = np.flatnonzero(starts)
         rank = np.arange(len(src_s)) - run_start[run_id]
         keep = rank < k
+        src_k = src_s[keep]
+        # deterministic coarse key: Python's hash() is salted per
+        # process, which would split one source across buckets and
+        # turn the per-bucket top-k into a union of partial top-ks.
+        # crc32 runs once per UNIQUE source (sources ≪ rows), then
+        # fans out through the inverse index — no per-row hashing.
+        uniq, inv = np.unique(src_k, return_inverse=True)
+        ucoarse = np.array([_crc32(s.encode()) % 64 for s in uniq],
+                           dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(ids_s[keep], pa.int64()),
-            "source": pa.array(src_s[keep], pa.string()),
+            "source": pa.array(src_k, pa.string()),
             "h": pa.array(h_s[keep], pa.string()),
-            # deterministic coarse key: Python's hash() is salted per
-            # process, which would split one source across buckets and
-            # turn the per-bucket top-k into a union of partial top-ks
-            "coarse": pa.array([_crc32(s.encode()) % 64
-                                for s in src_s[keep]], pa.int64()),
+            "coarse": pa.array(ucoarse[inv] if len(uniq)
+                               else np.array([], np.int64), pa.int64()),
         })
 
     def reduce_bucket(g: pa.Table) -> pa.Table:

@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
 import ray
+from crawler_ray.arrowutil import table_from_pandas as _table_from_pandas
 
 __all__ = ["knn_bruteforce", "knn_lsh", "knn_ivf", "hyperplane_codes",
            "train_ivf_centroids"]
@@ -47,8 +49,7 @@ def _merge_topk(parts: list[pa.Table], k: int) -> pa.Table:
     df = df.sort_values(["query_id", "sim", "neighbor_id"],
                         ascending=[True, False, True], kind="mergesort")
     out = df.groupby("query_id", as_index=False).head(k)
-    return pa.Table.from_pandas(out[["query_id", "neighbor_id"]],
-                                preserve_index=False)
+    return _table_from_pandas(out[["query_id", "neighbor_id"]])
 
 
 def knn_bruteforce(ds: "ray.data.Dataset", queries: np.ndarray,
