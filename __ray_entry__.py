@@ -244,8 +244,18 @@ def _crawl_reachable(sf_dir: str):
 
 
 def _crawl_reachable_ds(sf_dir: str):
+    """Kept as a callable (tests + manual use) but no longer
+    registered — see the note in :func:`queries`."""
     from crawler_ray.pipelines.docgraph import crawl_reachable_dataset
     return crawl_reachable_dataset(sf_dir)
+
+
+def _curation_pipeline(sf_dir: str):
+    """Composition query: crawl_reachable → normalize → min-id exact
+    dedup → benchmark decontamination → per-source stratified sample,
+    hash-checked end to end by one composed SQL oracle."""
+    from crawler_ray.pipelines.curation import curation_pipeline
+    return curation_pipeline(sf_dir)
 
 
 def _doc_summary(sf_dir: str):
@@ -268,10 +278,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": A.revenue_by_nation,
         "top_parts_by_revenue": A.top_parts_by_revenue,
         "events_hourly": A.events_hourly,
-        # HLL count-distinct variant (approximate by construction —
-        # rows-only check; tolerance-tested vs the exact path in
-        # tests/test_analytics.py)
-        "events_hourly_hll": A.events_hourly_hll,
+        # (the HLL count-distinct variant events_hourly_hll is NOT
+        # registered: the driver's correctness gate caps at 50 rows,
+        # and its rows-only row carried no information the tolerance
+        # test [tests/test_analytics.py::test_events_hourly_hll_vs_
+        # exact] and the bench-recall line don't already provide)
         "sessionize": A.sessionize,
         "stopwords_by_source": A.stopwords_by_source,
         "stopwords_global": A.stopwords_global,
@@ -325,14 +336,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the crawl engine itself (frontier/seen/politeness + byte-
         # identical extraction), BFS-checked by a recursive CTE
         "crawl_reachable": _crawl_reachable,
-        # the same reachability crawl expressed purely in the Dataset
-        # API (Dataset.join inner + left_anti per BFS level)
-        "crawl_reachable_ds": _crawl_reachable_ds,
+        # (crawl_reachable_ds — the pure-Dataset BFS tier — is NOT
+        # registered: the driver caps the checked set at 50 queries
+        # and round 3 showed the 51st entry silently drops off the
+        # gate. Its recursive-CTE oracle check now lives in
+        # tests/test_crawl_e2e.py::test_crawl_reachable_dataset_
+        # matches_oracle instead, so the tier stays verified.)
+        # the end-to-end curation composition a 100-TB user actually
+        # runs: crawl → normalize → canonical exact-dedup →
+        # decontaminate → stratified sample, one composed lineage
+        "curation_pipeline": _curation_pipeline,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from crawler_ray.pipelines import analytics as A
+    from crawler_ray.pipelines.curation import CURATION_PIPELINE_SQL
     from crawler_ray.pipelines.docgraph import CRAWL_REACHABLE_SQL
     out = {
         "q1_pricing_summary": A.Q1_SQL,
@@ -458,7 +477,7 @@ WITH q AS (
 SELECT query_id, neighbor_id FROM r WHERE rk <= {KNN_K}
 """,
         "crawl_reachable": CRAWL_REACHABLE_SQL,
-        "crawl_reachable_ds": CRAWL_REACHABLE_SQL,
+        "curation_pipeline": CURATION_PIPELINE_SQL,
     }
     # the forced label-propagation branch computes the SAME result as
     # dedup_components — one oracle, two hash-checked engine paths

@@ -155,8 +155,15 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_components", "events_hourly_hll",
         "dedup_canonical", "doc_decontaminate", "doc_repetition",
         "doc_sample_stratified", "doc_normalize",
+        # round-4 additions
+        "curation_pipeline",
     ]
     qs = E.queries()
+    # events_hourly_hll left the driver registry (50-entry gate cap)
+    # but stays benched: the approximate variant's cost is the number
+    # a user trades against the exact path
+    from crawler_ray.pipelines.analytics import events_hourly_hll
+    qs["events_hourly_hll"] = events_hourly_hll
     out = {}
     # min of 2 timed runs per query: single-shot numbers ride the
     # VM's ±25% phase drift and read as false regressions round over

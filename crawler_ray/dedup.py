@@ -58,15 +58,24 @@ __all__ = [
 # exact dedup
 # --------------------------------------------------------------------------
 
+def _coarse_from_md5(md5s: np.ndarray) -> np.ndarray:
+    """Vectorized ``int(hex[:4], 16) % _N_COARSE`` over an array of
+    md5 hexdigest strings (numpy codepoint arithmetic, no per-row
+    parse)."""
+    cp = (np.asarray(md5s, dtype=object).astype("U4")
+          .view(np.uint32).reshape(-1, 4).astype(np.int64))
+    d = cp - 48 - (cp >= 97) * 39        # '0'-'9' → 0-9, 'a'-'f' → 10-15
+    v = ((d[:, 0] * 16 + d[:, 1]) * 16 + d[:, 2]) * 16 + d[:, 3]
+    return v % _N_COARSE
+
+
 def _md5_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in batch[text_col].to_pylist()]
-    coarse = np.array([int(m[:4], 16) % _N_COARSE for m in md5s],
-                      dtype=np.int64)
+    from crawler_ray.functions.hashing import md5_hex_of_strings
+    md5s = md5_hex_of_strings(batch[text_col])
     return pa.table({
         "content_md5": pa.array(md5s, pa.string()),
         id_col: batch[id_col],
-        "coarse": pa.array(coarse),
+        "coarse": pa.array(_coarse_from_md5(md5s), pa.int64()),
     })
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import hashlib
 
 __all__ = ["md5_hex", "md5_hex_many", "md5_hex_of_ids",
-           "composite_doc_key", "doc_key"]
+           "md5_hex_of_strings", "composite_doc_key", "doc_key"]
 
 _CHECK = "ABCDEFGHJKLMNPQRSTVWXYZ"   # document_key_service.py check alphabet shape
 
@@ -66,6 +66,36 @@ def md5_hex_of_ids(ids) -> "numpy.ndarray":
         md5 = hashlib.md5
         return np.array([md5(str(i).encode()).hexdigest() for i in ids],
                         dtype=object)
+
+
+def md5_hex_of_strings(values) -> "numpy.ndarray":
+    """Vectorized md5 hexdigests of a utf8 string column (pyarrow
+    Array/ChunkedArray or any sequence of str). Same DuckDB-kernel
+    strategy as :func:`md5_hex_of_ids` — DuckDB's ``md5(VARCHAR)``
+    hashes the utf-8 bytes exactly like ``hashlib.md5(s.encode())``,
+    as one C++ projection instead of a Python loop per row. NULLs
+    hash as empty strings (the ``(t or "")`` convention of the exact-
+    dedup stage)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(list(values), pa.string())
+    global _DUCK
+    try:
+        import duckdb
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+        t = pa.table({"v": values})
+        _DUCK.register("_md5_strs", t)
+        out = _DUCK.execute(
+            "SELECT md5(coalesce(v, '')) AS h FROM _md5_strs").arrow()
+        return out["h"].to_numpy(zero_copy_only=False)
+    except Exception:
+        md5 = hashlib.md5
+        return np.array([md5(((s if s is not None else "")
+                              ).encode("utf-8")).hexdigest()
+                         for s in values.to_pylist()], dtype=object)
 
 
 def composite_doc_key(doc_hash: str, date_iso: str | None) -> str:

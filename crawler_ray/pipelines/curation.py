@@ -263,29 +263,36 @@ def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     rows that actually contain non-ASCII bytes detour through stdlib
     NFC — vectorized mask, per-row Python only on the minority that
     needs it."""
-    import unicodedata as _ud
-
     def norm(batch: pa.Table) -> pa.Table:
-        t = pc.coalesce(batch["text"], pa.scalar(""))
-        t = pc.utf8_lower(t)
-        non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
-        if pc.any(non_ascii).as_py():
-            # only the non-ASCII rows detour through stdlib NFC; the
-            # ASCII majority stays in the Arrow array and the fixed
-            # rows scatter back via replace_with_mask
-            t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
-            mask = non_ascii.combine_chunks() \
-                if isinstance(non_ascii, pa.ChunkedArray) else non_ascii
-            idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
-            fixed = pa.array([
-                _ud.normalize("NFC", v)
-                for v in t.take(pa.array(idx)).to_pylist()], pa.string())
-            t = pc.replace_with_mask(t, mask, fixed)
-        t = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(t, r"\s+", " "))
-        return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_text": normalize_array(batch["text"])})
 
     return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def normalize_array(col) -> "pa.Array | pa.ChunkedArray":
+    """The array-level normalizer behind :func:`normalize_text`
+    (lower → NFC → whitespace collapse → trim), shared with the
+    end-to-end composition pipeline."""
+    import unicodedata as _ud
+
+    t = pc.coalesce(col, pa.scalar(""))
+    t = pc.utf8_lower(t)
+    non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+    if pc.any(non_ascii).as_py():
+        # only the non-ASCII rows detour through stdlib NFC; the
+        # ASCII majority stays in the Arrow array and the fixed
+        # rows scatter back via replace_with_mask
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        mask = non_ascii.combine_chunks() \
+            if isinstance(non_ascii, pa.ChunkedArray) else non_ascii
+        idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        fixed = pa.array([
+            _ud.normalize("NFC", v)
+            for v in t.take(pa.array(idx)).to_pylist()], pa.string())
+        t = pc.replace_with_mask(t, mask, fixed)
+    return pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(t, r"\s+", " "))
 
 
 STRAT_K = 10
@@ -405,3 +412,134 @@ def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         })
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation composition: crawl → normalize → canonical dedup
+# → decontaminate → stratified sample (the pipeline a 100-TB user runs)
+# --------------------------------------------------------------------------
+
+def _curation_pipeline_sql() -> str:
+    """Oracle for :func:`curation_pipeline`: the crawl-reachability
+    recursive CTE (docgraph) composed with normalization, min-id
+    dedup on the normalized text, benchmark decontamination and the
+    per-source quota sample — one SQL statement, so the whole chained
+    pipeline hash-checks end to end."""
+    from crawler_ray.pipelines.docgraph import (
+        MIN_TARGET_CHARS, N_HOSTS, N_SEEDS)
+    return rf"""
+WITH RECURSIVE edges AS (
+  SELECT d.doc_id AS src, e.doc_id AS dst
+  FROM documents d JOIN documents e
+    ON e.doc_id = (d.doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+  WHERE e.n_chars > {MIN_TARGET_CHARS}
+  UNION ALL
+  SELECT d.doc_id, e.doc_id
+  FROM documents d JOIN documents e
+    ON e.doc_id = (d.doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+  WHERE e.n_chars > {MIN_TARGET_CHARS}
+), reach AS (
+  SELECT doc_id FROM documents WHERE doc_id < {N_SEEDS}
+  UNION
+  SELECT edges.dst FROM reach JOIN edges ON edges.src = reach.doc_id
+), docs AS (
+  SELECT doc_id,
+         'h' || (doc_id % {N_HOSTS}) || '.docs.example' AS source,
+         text
+  FROM reach JOIN documents USING (doc_id)
+), bench AS (
+  SELECT substr(text, {BENCH_OFF + 1}, {BENCH_LEN}) AS s
+  FROM documents
+  WHERE doc_id % {BENCH_STRIDE} = 0
+    AND length(text) >= {BENCH_OFF + BENCH_LEN}
+), norm AS (
+  SELECT doc_id, source, text,
+         trim(regexp_replace(nfc_normalize(lower(coalesce(text, ''))),
+                             '\s+', ' ', 'g')) AS norm_text
+  FROM docs
+), kept AS (
+  SELECT min(doc_id) AS doc_id FROM norm GROUP BY norm_text
+), clean AS (
+  SELECT n.doc_id, n.source
+  FROM norm n JOIN kept USING (doc_id)
+  WHERE NOT EXISTS (SELECT 1 FROM bench b
+                    WHERE position(b.s IN n.text) > 0)
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM clean
+)
+SELECT doc_id, source FROM r WHERE rk <= {STRAT_K}
+"""
+
+
+def curation_pipeline(sf_dir: str, k: int = STRAT_K
+                      ) -> "ray.data.Dataset":
+    """The full curation chain over the crawled doc-graph site, as ONE
+    composed lineage: crawl (real engine, byte-identical text) →
+    normalize → exact dedup keeping the min-id member per normalized
+    content → benchmark decontamination → per-source stratified
+    sample. Returns ``(doc_id, source)``.
+
+    Scale shape — the property that matters at 100 TB: the page text
+    is read ONCE, in the fused prep stage, which derives everything
+    downstream needs — (doc_id, source, content_md5, contaminated,
+    coarse) — so only those id-sized rows enter the dedup shuffle;
+    text never moves again. The contamination flag is computed
+    upstream of the shuffle (one RE2 alternation scan per batch,
+    probe set broadcast in the closure) and rides along; filtering
+    kept docs by their flag afterwards is equivalent to
+    decontaminating the canonical set, because the flag is per-doc.
+    The stratified sampler then sees only (doc_id, source) — its
+    block-local top-k partials bound what shuffles at k × sources
+    rows per block."""
+    import re as _re
+
+    from crawler_ray.dedup import _coarse_from_md5, _grouped_apply
+    from crawler_ray.functions.hashing import md5_hex_of_strings
+    from crawler_ray.pipelines.docgraph import N_HOSTS, crawl_reachable
+
+    probes = default_bench_strings(sf_dir)
+    pattern = "|".join(_re.escape(s) for s in probes) if probes else None
+    hosts = pa.array([f"h{j}.docs.example" for j in range(N_HOSTS)])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # url tail is the doc_id (docgraph site contract)
+        doc_id = pc.cast(pc.replace_substring_regex(
+            batch["url"], r"^.*/doc/", ""), pa.int64())
+        ids = doc_id.to_numpy(zero_copy_only=False)
+        src = hosts.take(pa.array(ids % N_HOSTS))
+        text = pc.coalesce(batch["text"], pa.scalar(""))
+        if pattern is None:
+            contam = pa.array(np.zeros(len(ids), np.int8))
+        else:
+            contam = pc.cast(
+                pc.match_substring_regex(text, pattern), pa.int8())
+        md5s = md5_hex_of_strings(normalize_array(text))
+        return pa.table({
+            "doc_id": doc_id,
+            "source": src,
+            "content_md5": pa.array(md5s, pa.string()),
+            "contaminated": contam,
+            "coarse": pa.array(_coarse_from_md5(md5s), pa.int64()),
+        })
+
+    def keep_min(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id", kind="mergesort")
+        out = g.groupby("content_md5", as_index=False).first()
+        return out[["doc_id", "source", "contaminated"]]
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string()),
+                      "contaminated": pa.array([], pa.int8())})
+    kept = _grouped_apply(
+        crawl_reachable(sf_dir).map_batches(prep, batch_format="pyarrow"),
+        "coarse", keep_min, empty=empty)
+    clean = (kept.filter(expr="contaminated == 0")
+                 .select_columns(["doc_id", "source"]))
+    return stratified_sample(clean, k=k)
+
+
+CURATION_PIPELINE_SQL = _curation_pipeline_sql()

@@ -92,3 +92,51 @@ def test_frontier_mass_conservation(crawl_out, oracle_t0):
     out, summary = crawl_out
     assert summary["urls_fetched"] == summary["seen_size"]
     assert summary["frontier_remaining"] == 0
+
+
+def test_crawl_reachable_dataset_matches_oracle(ray_session, tmp_path_factory):
+    """The pure-Dataset BFS tier (Dataset.join inner + left_anti per
+    level) against the recursive-CTE oracle at sf0.001 — the check
+    that used to ride the driver gate as ``crawl_reachable_ds`` before
+    the 50-entry registration cap moved it here. Asserts the full
+    (url, text) result set, i.e. reachability AND byte-identical
+    extraction, equals DuckDB's answer."""
+    import duckdb
+
+    from crawler_ray.pipelines.docgraph import (
+        CRAWL_REACHABLE_SQL, crawl_reachable_dataset)
+
+    sf = "/root/testdata/sf0.001"
+    scratch = str(tmp_path_factory.mktemp("docgraph_ds"))
+    got = (crawl_reachable_dataset(sf, scratch_root=scratch)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(CRAWL_REACHABLE_SQL).df()
+            .sort_values("url").reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["url"].values == want["url"].values).all()
+    assert (got["text"].values == want["text"].values).all()
+
+
+def test_curation_pipeline_matches_oracle(ray_session):
+    """End-to-end curation composition (crawl → normalize → min-id
+    exact dedup → decontaminate → stratified sample) vs its single
+    composed SQL oracle at sf0.001."""
+    import duckdb
+
+    from crawler_ray.pipelines.curation import (
+        CURATION_PIPELINE_SQL, curation_pipeline)
+
+    sf = "/root/testdata/sf0.001"
+    got = (curation_pipeline(sf).to_pandas()
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(CURATION_PIPELINE_SQL).df()
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["source"].values == want["source"].values).all()
