@@ -139,6 +139,78 @@ def _warmup() -> None:
     _crawl("t1", "warmup")
 
 
+def _quiet_ray_data() -> None:
+    """Keep the bench's stdout/stderr tail clean (the driver records
+    the last KBs of output verbatim into BENCH_r*.json — round-1/2
+    files carried 100+ KB of Ray Data INFO lines): progress bars off,
+    ray.data loggers at ERROR."""
+    import logging
+
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    for name in ("ray.data", "ray.air", "ray.tune"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
+def _parse_rate_probe(seconds: float = 3.0) -> float | None:
+    """Single-process ParseStage pages/s on the bench fixture — the
+    box-phase indicator embedded in every bench JSON so a slow-VM
+    session is visible inline (BASELINE.md records the fast/slow
+    bands; round 3's headline ran in a slow phase and the JSON alone
+    couldn't show it)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.stages.parse import ParseStage
+    shards = sorted(glob.glob(os.path.join(
+        BENCH_ROOT, "*", "sharded_*", "shard-00000.parquet")))
+    if not shards:
+        return None
+    t = pq.read_table(shards[0]).slice(0, 4096)
+    t = t.append_column("status", pa.array([200] * t.num_rows, pa.int16()))
+    ps = ParseStage()
+    t0, n = time.time(), 0
+    while time.time() - t0 < seconds:
+        ps(t.slice(n % 2048, 512))
+        n += 512
+    return round(n / (time.time() - t0), 1)
+
+
+def _hw_ceiling_control(levels: tuple[int, int], tier: str,
+                        seconds: float = 4.0) -> dict | None:
+    """Same-session hardware ceiling for the scaling ratio: the bare
+    parse workload (scripts/hw_ceiling.py, no Ray) at the same two
+    taskset-pinned core budgets. Embedded in the --scaling JSON so
+    the efficiency number is interpretable without BASELINE.md
+    archaeology: raw engine efficiency can never exceed this box's
+    same-hour memory-bus ceiling."""
+    import glob
+    shards = sorted(glob.glob(os.path.join(
+        BENCH_ROOT, tier, "sharded_*", "shard-00000.parquet")))
+    if not shards:
+        return None
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "hw_ceiling.py")
+    rates: dict[int, float] = {}
+    for c in levels:
+        p = subprocess.run(
+            ["taskset", "-c", f"0-{c - 1}", sys.executable, script,
+             shards[0], "--levels", str(c), "--seconds", str(seconds),
+             "--json"],
+            capture_output=True, text=True, timeout=600)
+        if p.returncode != 0:
+            return None
+        rates[c] = json.loads(p.stdout.strip().splitlines()[-1])[str(c)]
+    lo, hi = levels
+    return {
+        f"bare_parse_pages_per_sec_{lo}": rates[lo],
+        f"bare_parse_pages_per_sec_{hi}": rates[hi],
+        "hw_ceiling": round((rates[hi] / rates[lo]) / (hi / lo), 3),
+    }
+
+
 def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as E
     wanted = [
@@ -269,6 +341,8 @@ def main() -> None:
         # levels on one box but per-node-parallel on a real cluster
         lmed = {c: sorted(s)[len(s) // 2] for c, s in loop_secs.items()}
         loop_eff = (lmed[lo_cpus] / lmed[hi_cpus]) / (hi_cpus / lo_cpus)
+        hw = _hw_ceiling_control((lo_cpus, hi_cpus), args.scale_tier) or {}
+        ceiling = hw.get("hw_ceiling")
         print(json.dumps({
             "metric": f"frontier-drain scaling efficiency ({lo_cpus} -> "
                       f"{hi_cpus} CPUs, fresh taskset-pinned processes, "
@@ -284,6 +358,10 @@ def main() -> None:
             f"loop_secs_{lo_cpus}": loop_secs[lo_cpus],
             f"loop_secs_{hi_cpus}": loop_secs[hi_cpus],
             "urls_fetched": urls,
+            # same-session bare-workload control (memory-bus ceiling)
+            **hw,
+            "engine_share_of_ceiling": (round(eff / ceiling, 3)
+                                        if ceiling else None),
         }))
         return
 
@@ -295,6 +373,7 @@ def main() -> None:
                  logging_level="ERROR")
     import crawler_ray
     crawler_ray.suppress_empty_schema_divergence_warning()
+    _quiet_ray_data()
 
     if args.crawl_only:
         ns = args.shards or _n_shards(cpus)
@@ -321,6 +400,7 @@ def main() -> None:
     t_total = time.time()
     ns = _n_shards(cpus)
     _ensure_fixture("bench", ns)
+    box_phase = _parse_rate_probe()
     _warmup()
     # median of 3 crawl trials: the headline number must not ride one
     # draw of the VM's ±25% wall-clock drift
@@ -349,6 +429,9 @@ def main() -> None:
         "knn_lsh_recall_at_10": recall,
         "knn_ivf_recall_at_10": recall_ivf,
         "embedding_lsh_pair_recall": dedup_recall,
+        # single-core parse pages/s at run start — the box-phase
+        # indicator (compare against BASELINE.md's fast/slow bands)
+        "box_phase_pages_per_sec": box_phase,
     }))
     ray.shutdown()
 

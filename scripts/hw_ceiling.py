@@ -38,19 +38,36 @@ def work(args):
 
 
 def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else \
-        "/tmp/crawler_ray_bench/scale/sharded_8/shard-00000.parquet"
+    import argparse
+    import json
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", nargs="?", default=
+                    "/tmp/crawler_ray_bench/scale/sharded_8/"
+                    "shard-00000.parquet")
+    ap.add_argument("--levels", default="1,4,8,16,32",
+                    help="comma list of process counts to measure")
+    ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--json", action="store_true",
+                    help="print one JSON dict {procs: pages_per_sec} "
+                         "as the last line (bench.py control mode)")
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
     results = {}
-    for procs in (1, 4, 8, 16, 32):
+    for procs in levels:
         with mp.Pool(procs) as p:
-            rates = p.map(work, [(path, 5.0)] * procs)
+            rates = p.map(work, [(args.path, args.seconds)] * procs)
         results[procs] = sum(rates)
-        print(f"{procs:>2} procs: {results[procs]:8.0f} pages/s aggregate "
-              f"({results[procs] / procs:6.0f} per proc)")
+        if not args.json:
+            print(f"{procs:>2} procs: {results[procs]:8.0f} pages/s "
+                  f"aggregate ({results[procs] / procs:6.0f} per proc)")
+    if args.json:
+        print(json.dumps({str(k): round(v, 1) for k, v in results.items()}))
+        return
     for lo, hi in ((8, 32), (4, 16)):
-        ratio = results[hi] / results[lo]
-        print(f"{lo}->{hi} speedup: {ratio:.2f}x  "
-              f"=> hardware scaling-efficiency ceiling {ratio / 4:.2f}")
+        if lo in results and hi in results:
+            ratio = results[hi] / results[lo]
+            print(f"{lo}->{hi} speedup: {ratio:.2f}x  "
+                  f"=> hardware scaling-efficiency ceiling {ratio / 4:.2f}")
 
 
 if __name__ == "__main__":
