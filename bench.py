@@ -57,8 +57,11 @@ CRAWL_TIERS = {
     # wait; correctness tests use binding budgets instead.
     "bench": dict(round_ms=3_600_000, politeness_cap=100_000,
               pipeline_depth=2),
+    # drain tiers store text for DOC rows only — the reference's
+    # storage semantics (documents are the product, listing pages are
+    # navigation); correctness tiers keep store_text="all"
     "scale": dict(round_ms=36_000_000, politeness_cap=50_000,
-                  seen_capacity_per_shard=2_000_000),
+                  seen_capacity_per_shard=2_000_000, store_text="docs"),
     # 3x drain window (>= 60 s at 32 CPUs): lifts the timed section
     # far above the VM's +-25% wall-clock jitter for the scaling
     # bench. politeness_cap must clear the fixture's mega hosts
@@ -67,7 +70,7 @@ CRAWL_TIERS = {
     # overhead instead of engine throughput (measured: cap 50k -> 17
     # windows, 25k URLs/s; cap 1M -> 1 window).
     "scale4": dict(round_ms=36_000_000, politeness_cap=1_000_000,
-                   seen_capacity_per_shard=2_000_000),
+                   seen_capacity_per_shard=2_000_000, store_text="docs"),
     "t1": dict(round_ms=60_000, politeness_cap=10_000),
 }
 
@@ -105,7 +108,11 @@ def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
     out = os.path.join(BENCH_ROOT, f"out_{out_tag}")
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(n_frontier_shards=n_shards, n_seen_shards=n_shards,
-                      n_page_shards=n_shards, **CRAWL_TIERS[tier])
+                      n_page_shards=n_shards,
+                      # A/B seam for the fetch-path experiments
+                      fetch_mode=os.environ.get("CRAWLER_RAY_FETCH_MODE",
+                                                "rows"),
+                      **CRAWL_TIERS[tier])
     pages = os.path.join(fix, f"sharded_{n_shards}")
     robots = os.path.join(fix, "robots.parquet")
     if wide_seeds:

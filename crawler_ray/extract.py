@@ -247,14 +247,26 @@ def _fast_feed(p: _Extractor, s: str) -> None:
         raise _NeedsFallback
 
 
-def parse_page(html: bytes | None) -> ParsedPage:
-    """Parse one page payload per the extraction contract."""
+def parse_page(html: "bytes | memoryview | None") -> ParsedPage:
+    """Parse one page payload per the extraction contract.
+
+    Accepts ``memoryview`` as well as ``bytes`` so the batch stage can
+    hand each row a zero-copy slice of the Arrow data buffer —
+    ``str(view, 'utf-8', 'replace')`` decodes straight from the object
+    store without first materializing a Python ``bytes`` copy of the
+    html (one full memory-bus pass per page saved; the bus is the
+    measured scaling ceiling on shared-memory boxes). The non-HTML
+    probe reads a bounded 256-byte head instead of ``lstrip()`` on the
+    whole payload (which copies everything after the whitespace)."""
     if html is None or len(html) == 0:
         return ParsedPage(kind="empty")
-    head = html.lstrip()[:1]
+    head = bytes(html[:256]).lstrip()[:1]
+    if head == b"" and len(html) > 256:          # >256 B of leading ws
+        head = bytes(html).lstrip()[:1]
     if head != b"<":
         return ParsedPage(kind="binary")
-    s = html.decode("utf-8", errors="replace")
+    s = str(html, "utf-8", "replace") if isinstance(html, memoryview) \
+        else html.decode("utf-8", errors="replace")
     p = _Extractor()
     try:
         _fast_feed(p, s)

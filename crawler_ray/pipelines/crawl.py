@@ -113,6 +113,32 @@ class CrawlConfig:
                                        # render disabled even for such hosts)
     browser_factory: object = None     # picklable () -> browser for the
                                        # render actors; None = FakeBrowser
+    fetch_mode: str = "rows"           # "rows" (default): the fetch
+                                       # join ships densely-packed
+                                       # joined rows; parse walks them
+                                       # sequentially. "indices":
+                                       # corpus published to plasma
+                                       # once, fetch returns 8 B/url
+                                       # row indices, parse decodes
+                                       # html IN PLACE. Measured A/B on
+                                       # the 4.5M-page drain: rows wins
+                                       # at BOTH 4 and 16 CPUs (152 vs
+                                       # 187 s loop at 4; 45-52 vs
+                                       # 52-60 s at 16) — the wave-
+                                       # ordered sequential walk beats
+                                       # copy elimination because the
+                                       # indices mode's html reads
+                                       # jump randomly through the
+                                       # shard (prefetch/TLB misses).
+                                       # indices remains the documented
+                                       # choice when corpus locality
+                                       # pins tasks to shard nodes.
+    store_text: str = "all"            # parquet-part text policy: "all"
+                                       # (every page, the correctness
+                                       # tiers' default) | "docs" (doc
+                                       # rows only — the reference's
+                                       # storage semantics, used by the
+                                       # scale drain bench)
     now = PINNED_NOW
 
 
@@ -140,6 +166,32 @@ def _render_rows(t: pa.Table, render_hosts, actors: list,
     return t.set_column(i, "html", pa.array(htmls, pa.binary()))
 
 
+#: columns NOT persisted in the parquet parts — all re-derivable:
+#: link_url/link_dom re-exist only as in-flight candidate rows (the
+#: int64 link_hash column keeps the lineage at 1/3 the bytes), and
+#: doc_hash == doc_key[:32] (finalize_docs re-derives it). Measured on
+#: the 4.5M-page drain: 49 of 272 parquet B/url (18%) — write+compress
+#: bus traffic the wave no longer pays.
+_PART_DROP = ("link_url", "link_dom", "doc_hash")
+
+
+def _part_for_write(parsed: pa.Table, store_text: str = "all") -> pa.Table:
+    """The at-rest projection of a parsed wave part (see _PART_DROP).
+    ``store_text="docs"`` additionally blanks ``text`` for non-doc
+    rows — the reference's storage semantics (only documents are the
+    product; listing/nav pages are navigation) — cutting another ~18%
+    of text bytes on the drain fixture. Correctness tiers keep the
+    default ``"all"`` (the docgraph reachability oracle checks text
+    for every page)."""
+    t = parsed.drop_columns([c for c in _PART_DROP
+                             if c in parsed.column_names])
+    if store_text == "docs":
+        i = t.schema.get_field_index("text")
+        t = t.set_column(i, "text", pc.if_else(
+            t["doc_ok"], t["text"], pa.scalar("", pa.large_string())))
+    return t
+
+
 @ray.remote
 def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
                 wave: int, ctx: dict,
@@ -157,31 +209,73 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
     the pages — per-wave stragglers are bounded by the batch size
     instead of the biggest shard slice. The fetched table itself is a
     single object-store entry per (wave, shard, chunk); every task
-    maps it zero-copy and slices its own rows. (Joining inside the
-    tasks against a plasma-exported corpus was tried and REVERTED: it
-    parks a second full copy of the html corpus in the object store —
-    spill pressure — and loses the fetch/parse pipeline overlap; the
-    chunked fetch below measures faster at both 8 and 32 CPUs.)
+    maps it zero-copy and slices its own rows. This "rows" mode ships
+    the joined rows — the right trade when tasks may run on OTHER
+    nodes than the corpus shard (k joined rows < the whole shard);
+    the default "indices" mode (``_parse_task_idx``) never
+    materializes the joined html at all. (History: a round-2 plasma
+    ``export`` ALONGSIDE the actor-heap corpus was reverted — two
+    full html copies; ``PageStore.publish`` now REPLACES the heap
+    copy, which is why indices mode holds exactly one.)
     ``ctx`` (now / max_depth / seen-shard handles / registry) is one
     object-store entry shared by every task of the run — per-task
     args stay a few ints."""
+    sliced = fetched.slice(start, stop - start)
+    return _parse_and_emit(sliced, None, part_path, wave, ctx, salt)
+
+
+@ray.remote
+def _parse_task_idx(popped: pa.Table, a_start: int, a_stop: int,
+                    corpus: pa.Table, idx: pa.Table, i_start: int,
+                    i_stop: int, part_path: str, wave: int, ctx: dict,
+                    salt: int = 0) -> tuple[int, float, float, float]:
+    """fetch_mode="indices" work-unit: the popped wave table, the
+    shard's plasma-resident corpus and the chunk's (row, -1=404)
+    index table all arrive zero-copy; the batch is the popped slice +
+    status + lang, and the html is read as in-place memoryviews of
+    the corpus buffers (``binary_views_at``) — the joined html table
+    of the "rows" mode never exists."""
+    from crawler_ray.stages.parse import binary_views_at
+
+    sliced = popped.slice(a_start, a_stop - a_start)
+    rows = idx["row"].to_numpy(zero_copy_only=False)[i_start:i_stop]
+    status = pa.array(np.where(rows >= 0, 200, 404).astype(np.int16))
+    lang = corpus["lang"].take(pa.array(rows, pa.int64(), mask=rows < 0))
+    batch = (sliced.append_column("status", status)
+                   .append_column("lang", lang))
+    views = binary_views_at(corpus["html"], rows)
+    return _parse_and_emit(batch, views, part_path, wave, ctx, salt)
+
+
+def _parse_and_emit(batch: pa.Table, html_views: list | None,
+                    part_path: str, wave: int, ctx: dict, salt: int
+                    ) -> tuple[int, float, float, float]:
+    """Shared parse→write→offer body of both fetch modes."""
     from crawler_ray.stages.parse import ParseStage
 
     max_depth = ctx["max_depth"]
     seen_shards = ctx["seen_shards"]
-    sliced = fetched.slice(start, stop - start)
     render_hosts = ctx.get("render_hosts") or ()
     if render_hosts:
+        if html_views is not None:
+            # render needs a real html column: materialize the views
+            # (spec-registry crawls only — never the drain hot path)
+            batch = batch.append_column("html", pa.array(
+                [None if v is None else bytes(v) for v in html_views],
+                pa.binary()))
+            html_views = None
         # salt = the wave-wide task ordinal, NOT the slice start: the
         # start is always a multiple of the (even) batch size, so
         # `start % pool_size` pinned every render to actor 0 and the
         # rest of the warm pool sat idle
-        sliced = _render_rows(sliced, render_hosts,
-                              ctx["render_actors"], salt)
+        batch = _render_rows(batch, render_hosts,
+                             ctx["render_actors"], salt)
     t0 = time.perf_counter()
-    parsed = ParseStage(ctx["now"], registry=ctx["registry"])(sliced)
+    parsed = ParseStage(ctx["now"], registry=ctx["registry"])(
+        batch, html_views=html_views)
     t1 = time.perf_counter()
-    pq.write_table(parsed, part_path)
+    pq.write_table(_part_for_write(parsed, ctx.get("store_text", "all")),
+                   part_path)
     t2 = time.perf_counter()
     cands = _explode_links(parsed)
     if max_depth is not None:
@@ -259,10 +353,27 @@ def _explode_links(parsed: pa.Table) -> pa.Table:
                       lengths).astype(np.int32)
     parent = np.repeat(parsed["pop_rank"].to_numpy(zero_copy_only=False),
                        lengths).astype(np.int64)
-    hosts = [host_of(u) for u in urls.to_pylist()]
+    # host extraction: one RE2 pass mirroring urlnorm._FAST_CANON
+    # (candidates are already canonical, so the fast shape matches
+    # ~all rows); the rare non-matching row falls back to host_of —
+    # byte-identical by construction, no per-row Python on the bulk
+    m = pc.extract_regex(urls, r"^https?://(?P<h>[a-z0-9.\-]+)/")
+    host_arr = pc.struct_field(m, "h")
+    if m.null_count:
+        nulls = np.flatnonzero(
+            pc.is_null(m).to_numpy(zero_copy_only=False))
+        fixed = pa.array(
+            [host_of(u)
+             for u in urls.take(pa.array(nulls)).to_pylist()], pa.string())
+        host_arr = pc.replace_with_mask(
+            host_arr.combine_chunks()
+            if isinstance(host_arr, pa.ChunkedArray) else host_arr,
+            pc.is_null(m).combine_chunks()
+            if isinstance(m, pa.ChunkedArray) else pc.is_null(m),
+            fixed)
     return pa.table({
         "url": urls, "url_hash": hashes,
-        "host": pa.array(hosts, pa.string()),
+        "host": host_arr,
         "depth": pa.array(depth, pa.int32()),
         "parent_order": pa.array(parent, pa.int64()),
         "dom_idx": doms.cast(pa.int32()),
@@ -414,6 +525,11 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             _checkpoint(out_dir, 0, 0, 0, frontier_shards, seen_shards)
             return {"seeded": True, "out_dir": out_dir}
     ray.get(setup_refs)
+    corpus_refs = None
+    if cfg.fetch_mode == "indices":
+        # one plasma-resident corpus copy per shard; fetch returns
+        # 8 B/url row indices and the parse tasks read html in place
+        corpus_refs = ray.get([p.publish.remote() for p in page_stores])
 
     # ---- pipelined wave loop --------------------------------------------
     # In flight at any time: up to (pipeline_depth − 1) fetch+parse
@@ -465,6 +581,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     ctx_ref = ray.put({"now": cfg.now, "max_depth": cfg.max_depth,
                        "seen_shards": seen_shards,
                        "registry": cfg.registry,
+                       "store_text": cfg.store_text,
                        # no actors (render_pool=0) ⇒ pages parse raw,
                        # like the reference without a webdriver
                        "render_hosts": render_hosts if render_actors
@@ -565,6 +682,20 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             # a monolithic fetch left every CPU idle at wave start
             for c, c_start in enumerate(range(lo, hi, fetch_chunk)):
                 c_stop = min(c_start + fetch_chunk, hi)
+                if corpus_refs is not None:
+                    idx_ref = page_stores[s].fetch_indices.remote(
+                        popped_ref, c_start, c_stop)
+                    for b, start in enumerate(
+                            range(0, c_stop - c_start, batch)):
+                        stop = min(start + batch, c_stop - c_start)
+                        refs.append(_parse_task_idx.remote(
+                            popped_ref, c_start + start, c_start + stop,
+                            corpus_refs[s], idx_ref, start, stop,
+                            os.path.join(
+                                tmp_wave,
+                                f"part-{s:05d}-{c:05d}-{b:05d}.parquet"),
+                            wave, ctx_ref, len(refs)))
+                    continue
                 fetched_ref = page_stores[s].fetch.remote(
                     popped_ref, c_start, c_stop)
                 for b, start in enumerate(
@@ -669,10 +800,17 @@ def finalize_docs(out_dir: str, docs_path: str | None = None
         idx = g.groupby("doc_key")["pop_rank"].idxmin()
         return g.loc[idx].drop(columns=["coarse"])
 
+    def add_doc_hash(batch: pa.Table) -> pa.Table:
+        # doc_hash is not persisted in the parts (_PART_DROP): it is
+        # by construction the 32-hex-char md5 prefix of doc_key
+        return batch.append_column(
+            "doc_hash", pc.utf8_slice_codeunits(batch["doc_key"], 0, 32))
+
     ds = (parsed_dataset(out_dir)
           .filter(expr="doc_ok == True")
-          .select_columns(["doc_key", "doc_hash", "url", "host", "title",
+          .select_columns(["doc_key", "url", "host", "title",
                            "release_date", "lang", "text", "pop_rank"])
+          .map_batches(add_doc_hash, batch_format="pyarrow")
           .map_batches(add_coarse, batch_format="pyarrow")
           .groupby("coarse")
           .map_groups(first_by_rank, batch_format="pandas"))
@@ -691,7 +829,7 @@ def wave_metrics(out_dir: str) -> pa.Table:
         df = batch.select(["wave", "window", "status", "doc_ok",
                            "n_date_filtered"]).to_pandas()
         df["missing"] = (df.pop("status") == 404).astype("int64")
-        df["links"] = pc.list_value_length(batch["link_url"]).to_numpy(
+        df["links"] = pc.list_value_length(batch["link_hash"]).to_numpy(
             zero_copy_only=False).astype("int64")
         df["rows"] = 1
         g = df.groupby(["wave", "window"], as_index=False).sum()

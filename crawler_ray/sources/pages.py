@@ -60,6 +60,7 @@ class PageStore:
         self.n_shards = n_shards
         self.table: pa.Table | None = None
         self.index: dict[int, int] = {}
+        self._corpus_ref = None
 
     def load(self, pages_path: str) -> int:
         """Load this shard's slice (``url_hash % n_shards ==
@@ -95,6 +96,7 @@ class PageStore:
                   .append_column("url_hash", pa.array(hashes, pa.uint64()))
                   .filter(pa.array(mine)))
         self.table = t
+        self._corpus_ref = None          # re-publish after (re)load
         hashes = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         self.perm = np.argsort(hashes, kind="stable")
         self.sorted_hashes = hashes[self.perm]
@@ -111,6 +113,42 @@ class PageStore:
         ``_parse_task`` notes). Kept for corpora whose shards exceed
         actor heap, where plasma-resident is the only option."""
         return (self.table, self.sorted_hashes, self.perm)
+
+    def publish(self):
+        """Move this shard's corpus to ONE plasma-resident copy and
+        return its ObjectRef (idempotent). The actor's heap copy is
+        rebound to the zero-copy plasma view, so exactly one copy of
+        the html exists machine-wide; ``fetch_indices`` + the parse
+        tasks then read rows from it in place. (Round-3 tried a plasma
+        ``export`` ALONGSIDE the heap table and reverted it — two full
+        html copies; ``publish`` replaces the heap copy instead.)"""
+        if self._corpus_ref is None:
+            self._corpus_ref = ray.put(self.table)
+            self.table = ray.get(self._corpus_ref)   # plasma-backed view
+        return self._corpus_ref
+
+    def fetch_indices(self, popped, start: int = 0,
+                      stop: int | None = None) -> pa.Table:
+        """Index-only fetch join: probe the sorted url_hash index for
+        the popped slice and return ONE int64 column ``row`` (-1 =
+        miss/404) aligned to the slice rows — ~8 B/url through the
+        object store instead of the joined html (~1 KB/url). The
+        parse tasks read the actual page rows zero-copy from the
+        shard's published plasma corpus (see ``publish``)."""
+        popped = unpack(popped)
+        if stop is not None:
+            popped = popped.slice(start, stop - start)
+        hashes = popped["url_hash"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        n = popped.num_rows
+        if self.table is None or len(self.sorted_hashes) == 0:
+            rows = np.full(n, -1, dtype=np.int64)
+        else:
+            idx = np.searchsorted(self.sorted_hashes, hashes)
+            idx_c = np.minimum(idx, len(self.sorted_hashes) - 1)
+            found = self.sorted_hashes[idx_c] == hashes
+            rows = np.where(found, self.perm[idx_c], -1).astype(np.int64)
+        return pa.table({"row": pa.array(rows)})
 
     # -- fetch-only (join) ------------------------------------------------
     def fetch(self, popped, start: int = 0, stop: int | None = None

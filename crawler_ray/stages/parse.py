@@ -31,9 +31,79 @@ from crawler_ray.extract import parse_page
 from crawler_ray.functions.dates import (GDPR_DATE, PINNED_NOW,
                                          parse_date_multi)
 from crawler_ray.functions.hashing import md5_hex
-from crawler_ray.urlnorm import canonicalize, hash64, join_url
+from crawler_ray.urlnorm import (canonicalize, hash64, hosts_of_array,
+                                 join_url)
 
-__all__ = ["ParseStage", "PARSED_SCHEMA"]
+__all__ = ["ParseStage", "PARSED_SCHEMA", "binary_row_views",
+           "binary_views_at"]
+
+
+def binary_views_at(col, rows: "np.ndarray") -> list:
+    """Zero-copy ``memoryview`` of a binary column's value at each of
+    ``rows`` (int64 indices into the column; -1 → ``None``). The
+    fetch-indices crawl path uses this to read page html straight out
+    of the single plasma-resident corpus shard — no ``take``, no
+    joined-table materialization, no bytes objects. Chunked columns
+    are handled WITHOUT ``combine_chunks`` (which would copy the
+    whole corpus)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    starts = np.zeros(len(chunks) + 1, dtype=np.int64)
+    metas = []
+    for k, ch in enumerate(chunks):
+        starts[k + 1] = starts[k] + len(ch)
+        bufs = ch.buffers()
+        wide = pa.types.is_large_binary(ch.type) \
+            or pa.types.is_large_string(ch.type)
+        off = np.frombuffer(bufs[1], np.int64 if wide else np.int32)[
+            ch.offset: ch.offset + len(ch) + 1] if bufs[1] is not None \
+            else np.zeros(1, np.int64)
+        data = memoryview(bufs[2]) if bufs[2] is not None \
+            else memoryview(b"")
+        metas.append((off, data))
+    rows = np.asarray(rows, dtype=np.int64)
+    ci = np.searchsorted(starts, rows, side="right") - 1
+    out: list = []
+    for r, c in zip(rows.tolist(), ci.tolist()):
+        if r < 0:
+            out.append(None)
+            continue
+        off, data = metas[c]
+        local = r - starts[c]
+        out.append(data[off[local]:off[local + 1]])
+    return out
+
+
+def binary_row_views(col) -> list:
+    """Per-row ZERO-COPY ``memoryview`` slices of a binary column's
+    Arrow data buffers (``None`` for null rows).
+
+    ``to_pylist()`` on a binary column materializes a Python ``bytes``
+    copy of every payload — for the crawl's html column that is one
+    extra full pass of the corpus through the memory bus per wave,
+    and the bus is the measured scaling ceiling (BASELINE.md hw
+    control). The views decode straight into ``str`` inside
+    :func:`crawler_ray.extract.parse_page` instead."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        bufs = ch.buffers()
+        wide = pa.types.is_large_binary(ch.type) \
+            or pa.types.is_large_string(ch.type)
+        off = np.frombuffer(bufs[1], np.int64 if wide else np.int32)[
+            ch.offset: ch.offset + n + 1]
+        data = memoryview(bufs[2]) if bufs[2] is not None \
+            else memoryview(b"")
+        if ch.null_count:
+            valid = ch.is_valid().to_numpy(zero_copy_only=False)
+            out.extend(
+                data[off[i]:off[i + 1]] if valid[i] else None
+                for i in range(n))
+        else:
+            out.extend(data[off[i]:off[i + 1]] for i in range(n))
+    return out
 
 PARSED_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -86,15 +156,23 @@ class ParseStage:
     def _in_window(self, d) -> bool:
         return GDPR_DATE <= d <= self.hi
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from crawler_ray.urlnorm import host_of
+    def __call__(self, batch: pa.Table,
+                 html_views: list | None = None) -> pa.Table:
         n = batch.num_rows
         urls = batch["url"].to_pylist()
         statuses = batch["status"].to_pylist() if "status" in batch.column_names \
             else [200] * n
-        htmls = batch["html"].to_pylist()
-        hosts = (batch["host"].to_pylist() if "host" in batch.column_names
-                 else [host_of(u) for u in urls])
+        # zero-copy row views; rows routed to a CUSTOM spec parser are
+        # materialized to bytes below (the injected parsers hold the
+        # bytes contract), the default contract decodes the view.
+        # ``html_views`` lets the fetch-indices crawl path pass views
+        # straight into the plasma corpus instead of an html column.
+        htmls = binary_row_views(batch["html"]) if html_views is None \
+            else html_views
+        if "host" in batch.column_names:
+            hosts = batch["host"].to_pylist()
+        else:
+            hosts = hosts_of_array(batch["url"])
         kinds, titles, dates, doc_hashes, doc_keys, doc_oks = [], [], [], [], [], []
         texts, n_filtered = [], []
         l_urls, l_hashes, l_doms = [], [], []
@@ -106,9 +184,14 @@ class ParseStage:
                 l_urls.append([]); l_hashes.append([]); l_doms.append([])
                 continue
             spec = self._spec_for_host(host, self.registry)
-            page = (spec.page_parser or parse_page)(html)
-            if spec.text_extractor is not None:
-                page.text = spec.text_extractor(html)
+            if spec.page_parser is None and spec.text_extractor is None:
+                page = parse_page(html)       # decodes the view directly
+            else:
+                # injected spec parsers keep the bytes contract
+                raw = bytes(html) if isinstance(html, memoryview) else html
+                page = (spec.page_parser or parse_page)(raw)
+                if spec.text_extractor is not None:
+                    page.text = spec.text_extractor(raw)
             kinds.append(page.kind)
             texts.append(page.text)
             # --- discovery candidates (oracle rules 4/7) ---

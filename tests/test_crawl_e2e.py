@@ -140,3 +140,24 @@ def test_curation_pipeline_matches_oracle(ray_session):
     assert len(got) == len(want)
     assert (got["doc_id"].values == want["doc_id"].values).all()
     assert (got["source"].values == want["source"].values).all()
+
+
+def test_indices_fetch_mode_equals_rows(ray_session, fixture_t0, oracle_t0,
+                                        tmp_path_factory):
+    """fetch_mode="indices" (plasma-published corpus, in-place html
+    views) must produce the same crawl as the default "rows" mode —
+    seen set and ordered log equality against the oracle."""
+    import pandas as pd
+
+    from crawler_ray.pipelines.crawl import (CrawlConfig, crawl_log_dataset,
+                                             run_crawl)
+    out = str(tmp_path_factory.mktemp("crawl_idx") / "out")
+    run_crawl(f"{fixture_t0}/pages.parquet", f"{fixture_t0}/seeds.parquet",
+              f"{fixture_t0}/robots.parquet", out,
+              CrawlConfig(n_frontier_shards=2, n_seen_shards=2,
+                          n_page_shards=2, fetch_mode="indices"))
+    log = crawl_log_dataset(out).to_pandas()
+    olog = pd.DataFrame(oracle_t0.crawl_log)
+    assert len(log) == len(olog)
+    assert (log["url"].values == olog["url"].values).all()
+    assert set(log["url"]) == oracle_t0.seen
