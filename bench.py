@@ -210,12 +210,11 @@ def _hw_ceiling_control(levels: tuple[int, int], tier: str,
         if p.returncode != 0:
             return None
         rates[c] = json.loads(p.stdout.strip().splitlines()[-1])[str(c)]
-    lo, hi = levels
-    return {
-        f"bare_parse_pages_per_sec_{lo}": rates[lo],
-        f"bare_parse_pages_per_sec_{hi}": rates[hi],
-        "hw_ceiling": round((rates[hi] / rates[lo]) / (hi / lo), 3),
-    }
+    out = {f"bare_parse_pages_per_sec_{c}": rates[c] for c in levels}
+    if len(levels) == 2:
+        lo, hi = levels
+        out["hw_ceiling"] = round((rates[hi] / rates[lo]) / (hi / lo), 3)
+    return out
 
 
 def run_queries(sf_dir: str) -> dict:
@@ -306,6 +305,21 @@ def main() -> None:
     ap.add_argument("--scale-tier", default="scale",
                     help="drain fixture for --scaling: scale (1.5M pages,"
                          " ~20 s window) or scale4 (4.5M, >=60 s window)")
+    ap.add_argument("--normalized", action="store_true",
+                    help="run the bare-workload hw control IMMEDIATELY "
+                         "before each --scaling engine trial (same pinned "
+                         "cores), yielding a per-trial phase-normalized "
+                         "engine share — the box's throughput swings ~1.5x "
+                         "across hours and ASYMMETRICALLY across core "
+                         "counts, so one end-of-session control cannot "
+                         "normalize individual trials")
+    ap.add_argument("--trial-gap", type=float, default=0.0,
+                    help="seconds of cool-down between --scaling trial "
+                         "processes (sustained back-to-back load degrades "
+                         "this box's clock monotonically within a session "
+                         "— measured: 4-CPU trials 157 -> 211 s over one "
+                         "25-min run; gaps let trials sample the same "
+                         "thermal/noisy-neighbor phase)")
     args = ap.parse_args()
 
     if args.scaling:
@@ -323,8 +337,16 @@ def main() -> None:
         trial_secs = {lo_cpus: [], hi_cpus: []}
         loop_secs = {lo_cpus: [], hi_cpus: []}
         urls = None
+        bare_rates = {lo_cpus: [], hi_cpus: []}
         for t in range(args.trials):
             for cpus in (lo_cpus, hi_cpus):
+                if args.trial_gap and (t or cpus != lo_cpus):
+                    time.sleep(args.trial_gap)
+                if args.normalized:
+                    ctl = _hw_ceiling_control((cpus,), args.scale_tier,
+                                              seconds=4.0) or {}
+                    bare_rates[cpus].append(
+                        ctl.get(f"bare_parse_pages_per_sec_{cpus}"))
                 p = subprocess.run(
                     ["taskset", "-c", f"0-{cpus - 1}",
                      sys.executable, os.path.abspath(__file__),
@@ -350,6 +372,31 @@ def main() -> None:
         loop_eff = (lmed[lo_cpus] / lmed[hi_cpus]) / (hi_cpus / lo_cpus)
         hw = _hw_ceiling_control((lo_cpus, hi_cpus), args.scale_tier) or {}
         ceiling = hw.get("hw_ceiling")
+        norm = {}
+        if args.normalized and all(bare_rates[lo_cpus]) \
+                and all(bare_rates[hi_cpus]):
+            # per-trial phase normalization: each trial's engine ratio
+            # divided by ITS OWN adjacent bare-workload ratio — the
+            # estimator that survives the box's asymmetric hour-scale
+            # throughput swings (raw medians cannot)
+            pair_eff, pair_ceiling, pair_share = [], [], []
+            for t in range(args.trials):
+                e = (loop_secs[lo_cpus][t] / loop_secs[hi_cpus][t]) \
+                    / (hi_cpus / lo_cpus)
+                c = (bare_rates[hi_cpus][t] / bare_rates[lo_cpus][t]) \
+                    / (hi_cpus / lo_cpus)
+                pair_eff.append(round(e, 3))
+                pair_ceiling.append(round(c, 3))
+                pair_share.append(round(e / c, 3))
+            norm = {
+                "per_trial_loop_eff": pair_eff,
+                "per_trial_hw_ceiling": pair_ceiling,
+                "per_trial_engine_share": pair_share,
+                "median_engine_share":
+                    sorted(pair_share)[len(pair_share) // 2],
+                f"bare_trial_rates_{lo_cpus}": bare_rates[lo_cpus],
+                f"bare_trial_rates_{hi_cpus}": bare_rates[hi_cpus],
+            }
         print(json.dumps({
             "metric": f"frontier-drain scaling efficiency ({lo_cpus} -> "
                       f"{hi_cpus} CPUs, fresh taskset-pinned processes, "
@@ -369,6 +416,7 @@ def main() -> None:
             **hw,
             "engine_share_of_ceiling": (round(eff / ceiling, 3)
                                         if ceiling else None),
+            **norm,
         }))
         return
 

@@ -195,7 +195,7 @@ def _part_for_write(parsed: pa.Table, store_text: str = "all") -> pa.Table:
 @ray.remote
 def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
                 wave: int, ctx: dict,
-                salt: int = 0) -> tuple[int, float, float, float]:
+                salt: int = 0) -> tuple:
     """Stateless parse work-unit: slice of a fetch-shard's joined rows
     → ParseStage → parquet part → wave-tagged candidate fan-out to the
     seen shards (acked: task completion ⇒ this slice's offers are
@@ -228,7 +228,7 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
 def _parse_task_idx(popped: pa.Table, a_start: int, a_stop: int,
                     corpus: pa.Table, idx: pa.Table, i_start: int,
                     i_stop: int, part_path: str, wave: int, ctx: dict,
-                    salt: int = 0) -> tuple[int, float, float, float]:
+                    salt: int = 0) -> tuple:
     """fetch_mode="indices" work-unit: the popped wave table, the
     shard's plasma-resident corpus and the chunk's (row, -1=404)
     index table all arrive zero-copy; the batch is the popped slice +
@@ -249,7 +249,7 @@ def _parse_task_idx(popped: pa.Table, a_start: int, a_stop: int,
 
 def _parse_and_emit(batch: pa.Table, html_views: list | None,
                     part_path: str, wave: int, ctx: dict, salt: int
-                    ) -> tuple[int, float, float, float]:
+                    ) -> tuple:
     """Shared parse→write→offer body of both fetch modes."""
     from crawler_ray.stages.parse import ParseStage
 
@@ -280,20 +280,26 @@ def _parse_and_emit(batch: pa.Table, html_views: list | None,
     cands = _explode_links(parsed)
     if max_depth is not None:
         cands = cands.filter(pc.less_equal(cands["depth"], max_depth))
+    acks = []
     if cands.num_rows:
         hashes = cands["url_hash"].to_numpy(zero_copy_only=False)
         shard = (hashes % np.uint64(len(seen_shards))).astype(np.int64)
-        acks = []
         for s in range(len(seen_shards)):
             mask = shard == s
             if mask.any():
                 acks.append(seen_shards[s].offer.remote(
                     pack(cands.filter(pa.array(mask))), wave))
-        ray.get(acks)
     t3 = time.perf_counter()
+    # The offer ACK REFS return to the driver instead of being
+    # ray.get'd here: blocking in-task cost ~8 ms of held CPU slot
+    # per task (RPC round trip to up to n_seen_shards actors —
+    # measured 21-26 CPU-s per 4M-URL drain); the driver awaits them
+    # in retire_one BEFORE dispatching the wave's commit, preserving
+    # the "offers landed before commit" barrier, and by retire time
+    # (P−1 waves later) they have long since resolved.
     # CPU-second shares per section (summed by retire_one under
     # CRAWLER_RAY_PHASE_TIMING) — the retire_wait decomposition
-    return parsed.num_rows, t1 - t0, t2 - t1, t3 - t2
+    return parsed.num_rows, t1 - t0, t2 - t1, t3 - t2, acks
 
 
 def _load_seeds(path: str) -> pa.Table:
@@ -549,10 +555,16 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     def retire_one() -> None:
         j, refs, tmp_wave, wave_dir = inflight.popleft()
         t0 = time.perf_counter()
-        vals = ray.get(refs)           # tasks done ⇒ wave-j offers landed
+        vals = ray.get(refs)           # tasks done ⇒ wave-j offers SENT
+        # ...and landed: await the offer acks the tasks returned
+        # (resolved long ago by retire time — this is the barrier that
+        # lets commit_wave(j) assume every wave-j offer is buffered)
+        acks = [a for v in vals for a in v[4]]
+        if acks:
+            ray.get(acks)
         phase["retire_wait"] += time.perf_counter() - t0
         if _timing:                    # CPU-second task-section sums
-            for _, tp, tw, to in vals:
+            for _, tp, tw, to, _a in vals:
                 phase["task_parse_cpu_s"] += tp
                 phase["task_write_cpu_s"] += tw
                 phase["task_offer_cpu_s"] += to
