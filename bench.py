@@ -342,11 +342,6 @@ def main() -> None:
             for cpus in (lo_cpus, hi_cpus):
                 if args.trial_gap and (t or cpus != lo_cpus):
                     time.sleep(args.trial_gap)
-                if args.normalized:
-                    ctl = _hw_ceiling_control((cpus,), args.scale_tier,
-                                              seconds=4.0) or {}
-                    bare_rates[cpus].append(
-                        ctl.get(f"bare_parse_pages_per_sec_{cpus}"))
                 p = subprocess.run(
                     ["taskset", "-c", f"0-{cpus - 1}",
                      sys.executable, os.path.abspath(__file__),
@@ -362,6 +357,15 @@ def main() -> None:
                 loop_secs[cpus].append(r["crawl"].get("loop_s")
                                        or r["crawl"]["sec"])
                 urls = r["crawl"]["urls_fetched"]
+                if args.normalized:
+                    # control runs AFTER the engine trial (still
+                    # phase-adjacent) — before it, trial 0 on a fresh
+                    # box would glob an unbuilt fixture, return None
+                    # and silently void every normalized stat
+                    ctl = _hw_ceiling_control((cpus,), args.scale_tier,
+                                              seconds=4.0) or {}
+                    bare_rates[cpus].append(
+                        ctl.get(f"bare_parse_pages_per_sec_{cpus}"))
         med = {c: sorted(s)[len(s) // 2] for c, s in trial_secs.items()}
         ups = {c: round(urls / med[c], 1) for c in med}
         eff = (ups[hi_cpus] / ups[lo_cpus]) / (hi_cpus / lo_cpus)

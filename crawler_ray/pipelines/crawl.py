@@ -72,7 +72,8 @@ from crawler_ray.functions.dates import PINNED_NOW
 from crawler_ray.sources.pages import pack, unpack
 from crawler_ray.state.frontier import make_frontier_shards
 from crawler_ray.state.seen import make_seen_shards
-from crawler_ray.urlnorm import canonicalize, hash64_many, host_of
+from crawler_ray.urlnorm import (canonicalize, hash64_many, host_of,
+                                 hosts_array)
 
 __all__ = ["CrawlConfig", "run_crawl", "finalize_docs", "crawl_log_dataset",
            "wave_metrics"]
@@ -359,27 +360,13 @@ def _explode_links(parsed: pa.Table) -> pa.Table:
                       lengths).astype(np.int32)
     parent = np.repeat(parsed["pop_rank"].to_numpy(zero_copy_only=False),
                        lengths).astype(np.int64)
-    # host extraction: one RE2 pass mirroring urlnorm._FAST_CANON
-    # (candidates are already canonical, so the fast shape matches
-    # ~all rows); the rare non-matching row falls back to host_of —
-    # byte-identical by construction, no per-row Python on the bulk
-    m = pc.extract_regex(urls, r"^https?://(?P<h>[a-z0-9.\-]+)/")
-    host_arr = pc.struct_field(m, "h")
-    if m.null_count:
-        nulls = np.flatnonzero(
-            pc.is_null(m).to_numpy(zero_copy_only=False))
-        fixed = pa.array(
-            [host_of(u)
-             for u in urls.take(pa.array(nulls)).to_pylist()], pa.string())
-        host_arr = pc.replace_with_mask(
-            host_arr.combine_chunks()
-            if isinstance(host_arr, pa.ChunkedArray) else host_arr,
-            pc.is_null(m).combine_chunks()
-            if isinstance(m, pa.ChunkedArray) else pc.is_null(m),
-            fixed)
+    # host extraction: one RE2 pass with per-row fallback for the
+    # rare non-canonical shape — the shared urlnorm.hosts_array
+    # definition, so candidate routing and ParseStage host resolution
+    # can never drift apart
     return pa.table({
         "url": urls, "url_hash": hashes,
-        "host": host_arr,
+        "host": hosts_array(urls),
         "depth": pa.array(depth, pa.int32()),
         "parent_order": pa.array(parent, pa.int64()),
         "dom_idx": doms.cast(pa.int32()),

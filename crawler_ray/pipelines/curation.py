@@ -287,9 +287,13 @@ def normalize_array(col) -> "pa.Array | pa.ChunkedArray":
         mask = non_ascii.combine_chunks() \
             if isinstance(non_ascii, pa.ChunkedArray) else non_ascii
         idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        # type the replacement like the input: the crawl parquet text
+        # column is large_string and replace_with_mask has no
+        # (large_string, bool, string) kernel — a string()-typed
+        # `fixed` crashes on any non-ASCII large_string row
         fixed = pa.array([
             _ud.normalize("NFC", v)
-            for v in t.take(pa.array(idx)).to_pylist()], pa.string())
+            for v in t.take(pa.array(idx)).to_pylist()], t.type)
         t = pc.replace_with_mask(t, mask, fixed)
     return pc.utf8_trim_whitespace(
         pc.replace_substring_regex(t, r"\s+", " "))
@@ -425,24 +429,9 @@ def _curation_pipeline_sql() -> str:
     dedup on the normalized text, benchmark decontamination and the
     per-source quota sample — one SQL statement, so the whole chained
     pipeline hash-checks end to end."""
-    from crawler_ray.pipelines.docgraph import (
-        MIN_TARGET_CHARS, N_HOSTS, N_SEEDS)
+    from crawler_ray.pipelines.docgraph import N_HOSTS, REACH_CTES
     return rf"""
-WITH RECURSIVE edges AS (
-  SELECT d.doc_id AS src, e.doc_id AS dst
-  FROM documents d JOIN documents e
-    ON e.doc_id = (d.doc_id * 7 + 3) % (SELECT count(*) FROM documents)
-  WHERE e.n_chars > {MIN_TARGET_CHARS}
-  UNION ALL
-  SELECT d.doc_id, e.doc_id
-  FROM documents d JOIN documents e
-    ON e.doc_id = (d.doc_id * 13 + 5) % (SELECT count(*) FROM documents)
-  WHERE e.n_chars > {MIN_TARGET_CHARS}
-), reach AS (
-  SELECT doc_id FROM documents WHERE doc_id < {N_SEEDS}
-  UNION
-  SELECT edges.dst FROM reach JOIN edges ON edges.src = reach.doc_id
-), docs AS (
+WITH RECURSIVE {REACH_CTES}, docs AS (
   SELECT doc_id,
          'h' || (doc_id % {N_HOSTS}) || '.docs.example' AS source,
          text

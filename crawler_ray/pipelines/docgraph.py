@@ -43,8 +43,12 @@ N_HOSTS = 16
 N_SEEDS = 5
 MIN_TARGET_CHARS = 200
 
-CRAWL_REACHABLE_SQL = f"""
-WITH RECURSIVE edges AS (
+#: the edges/reach recursive CTE pair — ONE definition of "reachable"
+#: shared (spliced) by every oracle over the doc-graph site, so the
+#: link formulas can never drift between the reachability oracle and
+#: composed oracles like curation's (same convention as the shared
+#: components CTE in __ray_entry__'s dedup_canonical oracle)
+REACH_CTES = f"""edges AS (
   SELECT d.doc_id AS src, e.doc_id AS dst
   FROM documents d JOIN documents e
     ON e.doc_id = (d.doc_id * 7 + 3) % (SELECT count(*) FROM documents)
@@ -58,7 +62,10 @@ WITH RECURSIVE edges AS (
   SELECT doc_id FROM documents WHERE doc_id < {N_SEEDS}
   UNION
   SELECT edges.dst FROM reach JOIN edges ON edges.src = reach.doc_id
-)
+)"""
+
+CRAWL_REACHABLE_SQL = f"""
+WITH RECURSIVE {REACH_CTES}
 SELECT 'https://h' || (doc_id % {N_HOSTS}) || '.docs.example/doc/' || doc_id
          AS url,
        text

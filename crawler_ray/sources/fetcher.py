@@ -154,8 +154,20 @@ def fetch_pages_live(ds, fetch_fn=None, n_fetchers: int = 4,
         # one shard == one group == one task == one stage copy, and a
         # host never spans shards — so the per-host spacing inside
         # this copy is globally valid for the pass
-        return stage(g).drop_columns(["_fetch_shard"])
+        return stage(g.drop_columns(["_fetch_shard"]))
 
-    return (ds.map_batches(route, batch_format="pyarrow")
-              .groupby("_fetch_shard")
-              .map_groups(fetch_group, batch_format="pyarrow"))
+    # schema-pinned grouped apply (dedup._grouped_apply), NOT raw
+    # map_groups: empty sort partitions would otherwise emit
+    # zero-column blocks with divergent schemas — the documented
+    # hazard the repo's grouped stages all route around
+    from crawler_ray.dedup import _grouped_apply
+    s = ds.schema()
+    in_fields = [(n, t) for n, t in zip(s.names, s.types)]
+    empty = pa.table({
+        **{n: pa.array([], t) for n, t in in_fields},
+        "status": pa.array([], pa.int16()),
+        "html": pa.array([], pa.binary()),
+    })
+    return _grouped_apply(ds.map_batches(route, batch_format="pyarrow"),
+                          "_fetch_shard", fetch_group, empty=empty,
+                          group_format="pyarrow")

@@ -59,7 +59,13 @@ def binary_views_at(col, rows: "np.ndarray") -> list:
             else np.zeros(1, np.int64)
         data = memoryview(bufs[2]) if bufs[2] is not None \
             else memoryview(b"")
-        metas.append((off, data))
+        # null rows must surface as None (the 404/"missing" path),
+        # not as b"" views — a null-html corpus row would otherwise
+        # parse as kind="empty" in indices mode but "missing" in rows
+        # mode, breaking the fetch-mode equivalence contract
+        valid = ch.is_valid().to_numpy(zero_copy_only=False) \
+            if ch.null_count else None
+        metas.append((off, data, valid))
     rows = np.asarray(rows, dtype=np.int64)
     ci = np.searchsorted(starts, rows, side="right") - 1
     out: list = []
@@ -67,8 +73,11 @@ def binary_views_at(col, rows: "np.ndarray") -> list:
         if r < 0:
             out.append(None)
             continue
-        off, data = metas[c]
+        off, data, valid = metas[c]
         local = r - starts[c]
+        if valid is not None and not valid[local]:
+            out.append(None)
+            continue
         out.append(data[off[local]:off[local + 1]])
     return out
 

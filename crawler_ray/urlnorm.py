@@ -89,23 +89,41 @@ def host_of(url: str) -> str:
     return urlsplit(url).netloc.lower()
 
 
-def hosts_of_array(urls) -> list:
-    """Vectorized :func:`host_of` over a pyarrow string array: one
-    RE2 pass extracts the host of every canonical-shaped url
-    (lowercase host followed by ``/``); only the rare non-matching
-    rows fall back to the per-row Python path — byte-identical to
-    ``[host_of(u) for u in ...]`` by construction."""
+#: host of a canonical-shaped url (lowercase host followed by '/') —
+#: the ONE definition shared by every vectorized host extraction
+_HOST_RE = r"^https?://(?P<h>[a-z0-9.\-]+)/"
+
+
+def hosts_array(urls) -> "pyarrow.Array":
+    """Vectorized :func:`host_of` over a pyarrow string array
+    (Arrow in, Arrow out): one RE2 pass extracts the host of every
+    canonical-shaped url; only the rare non-matching rows (ports,
+    userinfo, uppercase) fall back to the per-row Python path —
+    byte-identical to ``[host_of(u) for u in ...]`` by
+    construction."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    m = pc.extract_regex(urls, r"^https?://(?P<h>[a-z0-9.\-]+)/")
-    hosts = pc.struct_field(m, "h").to_pylist()
+    m = pc.extract_regex(urls, _HOST_RE)
+    host = pc.struct_field(m, "h")
     if m.null_count:
-        isnull = pc.is_null(m).to_numpy(zero_copy_only=False)
-        for i in np.flatnonzero(isnull):
-            hosts[i] = host_of(urls[int(i)].as_py())
-    return hosts
+        isnull = pc.is_null(m)
+        idx = np.flatnonzero(isnull.to_numpy(zero_copy_only=False))
+        fixed = pa.array(
+            [host_of(urls[int(i)].as_py()) for i in idx], pa.string())
+        host = pc.replace_with_mask(
+            host.combine_chunks()
+            if isinstance(host, pa.ChunkedArray) else host,
+            isnull.combine_chunks()
+            if isinstance(isnull, pa.ChunkedArray) else isnull,
+            fixed)
+    return host
+
+
+def hosts_of_array(urls) -> list:
+    """List-of-str variant of :func:`hosts_array`."""
+    return hosts_array(urls).to_pylist()
 
 
 def path_of(url: str) -> str:
