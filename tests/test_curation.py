@@ -119,3 +119,33 @@ def test_normalize_text_unicode_and_whitespace(ray_session):
     assert df.loc[1, "norm_text"] == "hello world"
     assert df.loc[2, "norm_text"] == "café x"      # NFC, collapsed
     assert df.loc[3, "norm_text"] == ""                 # null-safe
+
+
+def test_normalize_array_large_string_non_ascii():
+    """The NFC detour must type its replacement like the input —
+    large_string text (the crawl parquet schema) with non-ASCII rows
+    crashed replace_with_mask before round 4's fix."""
+    import pyarrow as pa
+
+    from crawler_ray.pipelines.curation import normalize_array
+    out = normalize_array(pa.array(["HÉllo  wörld", "plain", ""],
+                                   pa.large_string()))
+    assert out.to_pylist() == ["héllo wörld", "plain", ""]
+
+
+def test_binary_views_at_null_rows():
+    """Null corpus rows must surface as None (the missing-page path),
+    not zero-length views — indices fetch mode diverged from rows
+    mode on null-html pages before round 4's fix."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.stages.parse import binary_views_at
+    col = pa.chunked_array([pa.array([b"abc", None], pa.binary()),
+                            pa.array([b"", b"xyz"], pa.binary())])
+    v = binary_views_at(col, np.array([0, 1, 2, 3, -1]))
+    assert bytes(v[0]) == b"abc"
+    assert v[1] is None
+    assert bytes(v[2]) == b""
+    assert bytes(v[3]) == b"xyz"
+    assert v[4] is None
