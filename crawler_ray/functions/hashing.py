@@ -56,6 +56,13 @@ def md5_hex_of_ids(ids) -> "numpy.ndarray":
         import duckdb
         if _DUCK is None:
             _DUCK = duckdb.connect()
+            # Row-alignment of the projection output with the registered
+            # table is what makes these hashes usable as per-row keys.
+            # DuckDB preserves insertion order by default, but the
+            # invariant is load-bearing (sampling + exact-dedup keys
+            # silently corrupt if it breaks), so pin it explicitly on
+            # this single-threaded, per-worker cached connection.
+            _DUCK.execute("SET preserve_insertion_order=true")
         t = pa.table({"i": pa.array(ids, pa.int64())})
         _DUCK.register("_md5_ids", t)
         out = _DUCK.execute(

@@ -71,6 +71,77 @@ def detect_language_batch(texts: list[str | None],
     return out_lang, out_conf
 
 
+# Labeled held-out sentences (written for this repo, natural register,
+# NOT drawn from the profile tables — several contain zero or ambiguous
+# profile words, e.g. shared Romance function words like "de"/"en",
+# which is exactly what the accuracy gate should price in). Used by
+# tests/test_langid_quality.py (accuracy >= threshold) and by bench.py
+# (per-run measured-accuracy line, like the ANN recall numbers).
+LABELED_SENTENCES: dict[str, list[str]] = {
+    "en": [
+        "the committee said that it was not aware of the complaint",
+        "most of the documents are published on the website for review",
+        "it is clear that the decision was taken with the consent of all",
+        "the company failed to notify the authority within the deadline",
+        "access to the data is restricted and logged for audit purposes",
+        "the report covers the period from january to december",
+    ],
+    "de": [
+        "die behörde hat die entscheidung mit einer begründung versehen",
+        "der betroffene kann sich mit einer beschwerde an das gericht wenden",
+        "die daten wurden nicht rechtzeitig gelöscht und das ist ein verstoß",
+        "das unternehmen muss die aufsichtsbehörde unverzüglich informieren",
+        "eine kopie des bescheids wurde den beteiligten zugestellt",
+        "der bericht ist auf der webseite der behörde veröffentlicht",
+    ],
+    "fr": [
+        "la commission a publié une décision concernant le traitement des données",
+        "les documents sont disponibles sur le site de l'autorité",
+        "il est clair que la société n'a pas respecté le délai prévu",
+        "le responsable du traitement doit informer les personnes concernées",
+        "une copie de la décision a été envoyée par courrier",
+        "le rapport couvre la période de janvier à décembre",
+    ],
+    "es": [
+        "la agencia publicó una resolución sobre el tratamiento de los datos",
+        "los documentos están disponibles en el sitio web de la autoridad",
+        "es evidente que la empresa no cumplió con el plazo establecido",
+        "el responsable debe informar a las personas afectadas sin demora",
+        "se envió una copia de la resolución por correo certificado",
+        "el informe cubre el periodo de enero a diciembre",
+    ],
+    "it": [
+        "il garante ha pubblicato una decisione sul trattamento dei dati",
+        "i documenti sono disponibili sul sito web dell'autorità",
+        "è evidente che la società non ha rispettato il termine previsto",
+        "il titolare deve informare senza ritardo le persone interessate",
+        "una copia della decisione è stata inviata per posta",
+        "il rapporto copre il periodo da gennaio a dicembre",
+    ],
+    "nl": [
+        "de autoriteit heeft een besluit gepubliceerd over de verwerking",
+        "de documenten zijn beschikbaar op de website van de toezichthouder",
+        "het is duidelijk dat het bedrijf de termijn niet heeft gehaald",
+        "de verwerkingsverantwoordelijke moet de betrokkenen informeren",
+        "een kopie van het besluit is per post verzonden",
+        "het verslag beslaat de periode van januari tot december",
+    ],
+}
+
+
+def labeled_accuracy(profiles: dict[str, dict[str, int]] | None = None
+                     ) -> float:
+    """Measured accuracy of the n-gram heuristic on the labeled
+    held-out sentences — the per-run quality number for this
+    approximate op (the analogue of the ANN paths' recall@k)."""
+    texts, truth = [], []
+    for lang, sents in LABELED_SENTENCES.items():
+        texts.extend(sents)
+        truth.extend([lang] * len(sents))
+    pred, _ = detect_language_batch(texts, profiles)
+    return round(sum(p == t for p, t in zip(pred, truth)) / len(truth), 3)
+
+
 class LangIdStage:
     """Actor-pool stage: ``ds.map_batches(LangIdStage, concurrency=N,
     batch_format="pyarrow")`` — profile dict built once per actor."""

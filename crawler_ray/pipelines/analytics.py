@@ -86,6 +86,19 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None,
         if ray.is_initialized() else 32
     floor = cpus if min_blocks == "cpus" else min_blocks
     nblocks = max(floor, min(2 * cpus, -(-nbytes // _READ_BLOCK_BYTES)))
+    # The driver's testdata parquet carries `pandas` schema metadata
+    # (a dict value), which defeats Ray's schema hashing inside
+    # ReadParquet ("Failed to hash the schemas … unhashable type:
+    # 'dict'" log noise, and no block-schema dedup). Hand read_parquet
+    # a metadata-stripped schema so every block is born clean.
+    if "schema" not in read_kwargs:
+        import pyarrow as _pa
+        schema = pq.read_schema(path).remove_metadata()
+        if columns:
+            # pruned batches come back in requested-column order
+            schema = _pa.schema([schema.field(c).remove_metadata()
+                                 for c in columns])
+        read_kwargs["schema"] = schema
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=nblocks,
                                  **read_kwargs)

@@ -281,7 +281,7 @@ def _parse_and_emit(batch: pa.Table, html_views: list | None,
     cands = _explode_links(parsed)
     if max_depth is not None:
         cands = cands.filter(pc.less_equal(cands["depth"], max_depth))
-    acks = []
+    acks, offered = [], []
     if cands.num_rows:
         hashes = cands["url_hash"].to_numpy(zero_copy_only=False)
         shard = (hashes % np.uint64(len(seen_shards))).astype(np.int64)
@@ -290,6 +290,7 @@ def _parse_and_emit(batch: pa.Table, html_views: list | None,
             if mask.any():
                 acks.append(seen_shards[s].offer.remote(
                     pack(cands.filter(pa.array(mask))), wave))
+                offered.append(s)
     t3 = time.perf_counter()
     # The offer ACK REFS return to the driver instead of being
     # ray.get'd here: blocking in-task cost ~8 ms of held CPU slot
@@ -297,10 +298,15 @@ def _parse_and_emit(batch: pa.Table, html_views: list | None,
     # measured 21-26 CPU-s per 4M-URL drain); the driver awaits them
     # in retire_one BEFORE dispatching the wave's commit, preserving
     # the "offers landed before commit" barrier, and by retire time
-    # (P−1 waves later) they have long since resolved.
+    # (P−1 waves later) they have long since resolved. The ack refs
+    # are owned by THIS (transient) worker process — if Ray reaps it
+    # before retire, the driver's ray.get raises OwnerDiedError, so
+    # retire_one also gets ``offered`` (shard ids, returned by value,
+    # driver-owned) and falls back to the shards' wave_offer_count
+    # barrier on ack-resolution failure.
     # CPU-second shares per section (summed by retire_one under
     # CRAWLER_RAY_PHASE_TIMING) — the retire_wait decomposition
-    return parsed.num_rows, t1 - t0, t2 - t1, t3 - t2, acks
+    return parsed.num_rows, t1 - t0, t2 - t1, t3 - t2, acks, offered
 
 
 def _load_seeds(path: str) -> pa.Table:
@@ -466,10 +472,16 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     delays = {h: int(c) for h, c in zip(robots_t["host"].to_pylist(),
                                         robots_t["crawl_delay_ms"].to_pylist())}
 
-    # setup is dispatched fully async and awaited ONCE: actor wiring,
-    # the 8-way corpus load, and checkpoint restore all overlap (they
-    # touch disjoint actors; per-caller FIFO ordering on each actor
-    # makes the later wave calls safe without intermediate barriers)
+    # setup is dispatched fully async: actor wiring, the n-way corpus
+    # load, and checkpoint restore all overlap (they touch disjoint
+    # actors; per-caller FIFO ordering on each actor makes the later
+    # wave calls safe without intermediate barriers). Only the STATE
+    # restores are barriered before the loop (cheap uint64/entry
+    # parquet reads); the corpus loads stay in flight — each shard's
+    # first fetch FIFO-queues behind its own load, so the load cost
+    # overlaps the first waves' pop/rank/dispatch instead of sitting
+    # on the critical path (round-4 verdict: the ~8 s disk-bound
+    # restore barrier was 13% of a 16-CPU drain).
     from crawler_ray.sources.pages import PageStore
 
     frontier_shards = make_frontier_shards(cfg.n_frontier_shards, delays,
@@ -481,7 +493,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     page_stores = [PageStore.options(max_concurrency=1)
                    .remote(i, cfg.n_page_shards)
                    for i in range(cfg.n_page_shards)]
-    setup_refs += [s.load.remote(pages_path) for s in page_stores]
+    load_refs = [s.load.remote(pages_path) for s in page_stores]
 
     wave = window = 0
     pop_rank = 0
@@ -514,15 +526,17 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         # seeds: committed as pseudo-wave −1, visible from wave 0
         ray.get([s.commit_wave.remote(-1, 0) for s in seen_shards])
         if seed_only:
-            ray.get(setup_refs)
+            ray.get(setup_refs + load_refs)
             _checkpoint(out_dir, 0, 0, 0, frontier_shards, seen_shards)
             return {"seeded": True, "out_dir": out_dir}
-    ray.get(setup_refs)
+    ray.get(setup_refs)                 # state barrier only (cheap)
     corpus_refs = None
     if cfg.fetch_mode == "indices":
         # one plasma-resident corpus copy per shard; fetch returns
         # 8 B/url row indices and the parse tasks read html in place
+        # (publish FIFO-queues behind each shard's load)
         corpus_refs = ray.get([p.publish.remote() for p in page_stores])
+        load_refs = []
 
     # ---- pipelined wave loop --------------------------------------------
     # In flight at any time: up to (pipeline_depth − 1) fetch+parse
@@ -545,16 +559,40 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         vals = ray.get(refs)           # tasks done ⇒ wave-j offers SENT
         # ...and landed: await the offer acks the tasks returned
         # (resolved long ago by retire time — this is the barrier that
-        # lets commit_wave(j) assume every wave-j offer is buffered)
+        # lets commit_wave(j) assume every wave-j offer is buffered).
+        # The ack refs are owned by the transient workers that ran the
+        # tasks; if one was reaped since, fall back to the shard-side
+        # offer-count barrier (driver-owned data: vals[5] = shard ids
+        # each task offered to).
         acks = [a for v in vals for a in v[4]]
         if acks:
-            ray.get(acks)
+            try:
+                ray.get(acks)
+            except ray.exceptions.RayError:
+                from collections import Counter
+                expected = Counter(s for v in vals for s in v[5])
+                deadline = time.monotonic() + 60.0
+                while True:
+                    got = ray.get([seen_shards[s].wave_offer_count
+                                   .remote(j) for s in expected])
+                    if all(g >= expected[s]
+                           for s, g in zip(expected, got)):
+                        break
+                    if time.monotonic() > deadline:
+                        # an offer never arrived (its owner died before
+                        # delivery): fail loudly — committing the wave
+                        # would silently drop discovered links
+                        raise RuntimeError(
+                            f"wave {j}: offer barrier incomplete after "
+                            f"owner loss (expected {dict(expected)}, "
+                            f"got {got})")
+                    time.sleep(0.05)
         phase["retire_wait"] += time.perf_counter() - t0
         if _timing:                    # CPU-second task-section sums
-            for _, tp, tw, to, _a in vals:
-                phase["task_parse_cpu_s"] += tp
-                phase["task_write_cpu_s"] += tw
-                phase["task_offer_cpu_s"] += to
+            for v in vals:
+                phase["task_parse_cpu_s"] += v[1]
+                phase["task_write_cpu_s"] += v[2]
+                phase["task_offer_cpu_s"] += v[3]
         os.rename(tmp_wave, wave_dir)
         commits[j] = [s.commit_wave.remote(j, j + P) for s in seen_shards]
 
@@ -587,6 +625,17 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                        else frozenset(),
                        "render_actors": render_actors})
     n_cpus = int(ray.cluster_resources().get("CPU", 32))
+
+    def _all_ready(refs: list) -> bool:
+        return len(ray.wait(list(refs), num_returns=len(refs),
+                            timeout=0)[0]) == len(refs)
+
+    # pop prefetch: (wave_id, per-shard refs) dispatched at the END of
+    # the previous iteration once the commits pop(wave_id) depends on
+    # have provably resolved — the frontier shards then compute the
+    # politeness/priority selection WHILE the driver blocks in the next
+    # iteration's retire_wait, instead of serially after it
+    pending_pop: tuple[int, list] | None = None
     t_loop0 = time.perf_counter()
     while True:
         # dispatch commits for waves old enough (≥1 iteration of slack
@@ -600,9 +649,12 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         phase["commit_wait"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        parts = [t for t in ray.get(
-            [f.pop_wave.remote(wave) for f in frontier_shards])
-            if t is not None]
+        if pending_pop is not None and pending_pop[0] == wave:
+            pop_refs = pending_pop[1]
+        else:
+            pop_refs = [f.pop_wave.remote(wave) for f in frontier_shards]
+        pending_pop = None
+        parts = [t for t in ray.get(pop_refs) if t is not None]
         phase["pop"] += time.perf_counter() - t0
         if not parts:
             # Bubble rule (oracle rule 9): if any wave in (wave−P, wave)
@@ -709,12 +761,43 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         inflight.append((wave, refs, tmp_wave, wave_dir))
         wave += 1
         waves_done += 1
+        if load_refs:
+            # corpus-load error barrier, crossed once: wave 0 is
+            # dispatched (its fetches FIFO-queue behind each shard's
+            # load), so a failed load surfaces here instead of
+            # silently 404-ing the whole crawl. With the IPC-mmap
+            # layout this is milliseconds; with the parquet fallback
+            # it overlaps wave 0's pop/rank/dispatch.
+            t0 = time.perf_counter()
+            ray.get(load_refs)
+            load_refs = []
+            phase["load_wait"] += time.perf_counter() - t0
         if cfg.checkpoint_every and wave % cfg.checkpoint_every == 0:
             drain()                    # epoch = fully settled state
             _checkpoint(out_dir, wave, window, pop_rank,
                         frontier_shards, seen_shards)
             if stop_after_waves is not None and waves_done >= stop_after_waves:
                 return {"aborted_at_wave": wave, "out_dir": out_dir}
+        # ---- end-of-iteration overlap work (order matters: never pop
+        # ahead of a checkpoint — popped entries must not be missing
+        # from an epoch snapshot) ------------------------------------
+        # eager retire: any wave whose tasks have ALL finished gets its
+        # commit dispatched now (non-blocking check), giving the seen
+        # shards the rest of this wave's parse window to run the
+        # commit instead of compressing it into the next commit_wait
+        while inflight and _all_ready(inflight[0][1]):
+            retire_one()
+        # pop prefetch for the next iteration (see declaration above):
+        # safe iff every commit with visibility deadline ≤ next wave is
+        # provably applied — un-retired older waves or unresolved
+        # commit refs veto the prefetch (the normal path handles them)
+        if not (inflight and inflight[0][0] <= wave - P):
+            need = [j for j in commits if j <= wave - P]
+            if all(_all_ready(commits[j]) for j in need):
+                for j in need:
+                    ray.get(commits.pop(j))
+                pending_pop = (wave, [f.pop_wave.remote(wave)
+                                      for f in frontier_shards])
 
     phase["loop_total"] = time.perf_counter() - t_loop0
     t0 = time.perf_counter()

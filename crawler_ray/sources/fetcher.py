@@ -82,45 +82,90 @@ class FakeHttpBackend:
 class FetcherStage:
     """``map_batches`` callable class: ``(url, ...) → + (status,
     html)``. One warm session / politeness table per actor
-    (``__init__`` once per actor, ST7); rows fetch sequentially
-    within the batch with a per-host minimum interval enforced
-    between consecutive requests to the same host.
+    (``__init__`` once per actor, ST7); a per-host minimum interval
+    is enforced between consecutive requests to the same host, and
+    distinct hosts within a batch may fetch concurrently (see
+    ``max_concurrency``).
 
     ``fetch_fn``: the injected backend (defaults to
     :func:`urllib_fetch_fn`); ``min_interval_s``: per-host spacing
-    (the reference's inter-request sleep); ``timeout_s``: per-request
-    budget (france:51-59). ``clock``/``sleep`` are injectable for
-    deterministic politeness tests."""
+    (the reference's inter-request sleep — spacing is END-to-start:
+    the host timestamp is stamped when the response RETURNS, because
+    the reference sleeps between requests, after each response, not
+    on a start-to-start schedule); ``timeout_s``: per-request budget
+    (france:51-59). ``clock``/``sleep`` are injectable for
+    deterministic politeness tests.
+
+    ``max_concurrency``: with the default 1 the batch fetches
+    sequentially in row order (reference parity —
+    austria:55-65 fetches documents one at a time). With >1 the batch
+    is split into per-host chains and DIFFERENT hosts fetch
+    concurrently on a per-actor thread pool while each host's chain
+    stays sequential behind its interval gate — so wall time per
+    batch ≈ the longest single-host chain, not the sum, and no host
+    ever sees two in-flight requests. Threads (not asyncio) because
+    the injected ``fetch_fn`` contract is a plain synchronous
+    callable; an async backend can still be wrapped. Politeness state
+    stays valid because a host never spans actors (module docstring)
+    and never spans threads within a call (one chain per host)."""
 
     def __init__(self, fetch_fn=None, timeout_s: float = 30.0,
                  min_interval_s: float = 0.0,
                  url_col: str = "url",
+                 max_concurrency: int = 1,
                  clock=time.monotonic, sleep=time.sleep) -> None:
         self._fetch = fetch_fn or urllib_fetch_fn
         self.timeout_s = timeout_s
         self.min_interval_s = min_interval_s
         self.url_col = url_col
+        self.max_concurrency = max(1, int(max_concurrency))
         self._clock, self._sleep = clock, sleep
-        self._last: dict[str, float] = {}        # host → last request ts
+        self._last: dict[str, float] = {}        # host → last response ts
+        self._pool = None                        # lazy, once per actor
         self.requests_made = 0                   # lifetime, for tests
 
-    def _gate(self, host: str) -> None:
+    def _fetch_one(self, url: str, host: str):
         if self.min_interval_s > 0:
             last = self._last.get(host)
             if last is not None:
                 wait = last + self.min_interval_s - self._clock()
                 if wait > 0:
                     self._sleep(wait)
+        status, body = self._fetch(url, self.timeout_s)
+        # stamp AFTER the response: end-to-start spacing, matching the
+        # reference's sleep-between-requests (a slow response still
+        # earns the host its full idle gap before the next request)
         self._last[host] = self._clock()
+        return status, body
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        statuses, bodies = [], []
-        for url in batch[self.url_col].to_pylist():
-            self._gate(urlsplit(url).netloc)
-            status, body = self._fetch(url, self.timeout_s)
-            self.requests_made += 1
-            statuses.append(status)
-            bodies.append(body if status == 200 else None)
+        urls = batch[self.url_col].to_pylist()
+        n = len(urls)
+        statuses, bodies = [0] * n, [None] * n
+
+        def run_chain(host, idxs):
+            for i in idxs:
+                status, body = self._fetch_one(urls[i], host)
+                statuses[i] = status
+                bodies[i] = body if status == 200 else None
+
+        by_host: dict[str, list[int]] = {}
+        for i, u in enumerate(urls):
+            by_host.setdefault(urlsplit(u).netloc, []).append(i)
+
+        if self.max_concurrency > 1 and len(by_host) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.max_concurrency)
+            for f in [self._pool.submit(run_chain, h, idxs)
+                      for h, idxs in by_host.items()]:
+                f.result()
+        else:
+            # sequential parity path: strict batch row order
+            for i, u in enumerate(urls):
+                run_chain(urlsplit(u).netloc, [i])
+        self.requests_made += n
         return (batch
                 .append_column("status", pa.array(statuses, pa.int16()))
                 .append_column("html", pa.array(bodies, pa.binary())))
@@ -129,7 +174,8 @@ class FetcherStage:
 def fetch_pages_live(ds, fetch_fn=None, n_fetchers: int = 4,
                      timeout_s: float = 30.0,
                      min_interval_s: float = 0.0,
-                     url_col: str = "url"):
+                     url_col: str = "url",
+                     max_concurrency: int = 1):
     """Dataset-level live fetch: hash-partition on host (so each
     host's politeness state lives in exactly one actor — see module
     docstring) then actor-pool ``map_batches``. The host routing uses
@@ -148,7 +194,8 @@ def fetch_pages_live(ds, fetch_fn=None, n_fetchers: int = 4,
             np.array([shard[h] for h in hosts], np.int64)))
 
     stage = FetcherStage(fetch_fn, timeout_s=timeout_s,
-                         min_interval_s=min_interval_s, url_col=url_col)
+                         min_interval_s=min_interval_s, url_col=url_col,
+                         max_concurrency=max_concurrency)
 
     def fetch_group(g: pa.Table) -> pa.Table:
         # one shard == one group == one task == one stage copy, and a

@@ -78,7 +78,19 @@ class PageStore:
         import os
         if os.path.isdir(pages_path):
             meta = json.load(open(os.path.join(pages_path, "meta.json")))
-            if meta["n_shards"] == self.n_shards:
+            ipc = os.path.join(pages_path,
+                               f"shard-{self.shard_id:05d}.arrow")
+            if meta["n_shards"] == self.n_shards and os.path.exists(ipc):
+                # memory-mapped Arrow IPC sidecar: "load" is an mmap +
+                # one argsort of the url_hash column — page-in of the
+                # html bytes happens lazily during the loop's fetches
+                # (served from page cache / local disk), so the corpus
+                # restore barrier disappears from the critical path.
+                # This is the per-node lazy-read behavior the 100-TB
+                # deployment needs anyway; parquet remains the
+                # portable at-rest format and the fallback below.
+                t = pa.ipc.open_file(pa.memory_map(ipc)).read_all()
+            elif meta["n_shards"] == self.n_shards:
                 t = pq.read_table(os.path.join(
                     pages_path, f"shard-{self.shard_id:05d}.parquet"))
             else:                       # layout mismatch: read-all fallback
@@ -205,6 +217,7 @@ def prepare_sharded_pages(pages_path: str, out_dir: str,
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
         if json.load(open(meta_path))["n_shards"] == n_shards:
+            _ensure_ipc_sidecars(out_dir, n_shards)
             return out_dir
     os.makedirs(out_dir, exist_ok=True)
     pf = pq.ParquetFile(pages_path)
@@ -242,7 +255,28 @@ def prepare_sharded_pages(pages_path: str, out_dir: str,
             pq.write_table(sch.empty_table(), p)
     with open(meta_path, "w") as f:
         json.dump({"n_shards": n_shards}, f)
+    _ensure_ipc_sidecars(out_dir, n_shards)
     return out_dir
+
+
+def _ensure_ipc_sidecars(out_dir: str, n_shards: int) -> None:
+    """Write a ``shard-xxxxx.arrow`` (uncompressed Arrow IPC file)
+    next to each shard parquet if missing — the memory-mappable form
+    :meth:`PageStore.load` prefers. Idempotent; written atomically
+    (tmp + rename) so a killed prep never leaves a truncated file
+    that a later load would map."""
+    import os
+    for s in range(n_shards):
+        pq_path = os.path.join(out_dir, f"shard-{s:05d}.parquet")
+        ipc_path = os.path.join(out_dir, f"shard-{s:05d}.arrow")
+        if os.path.exists(ipc_path) or not os.path.exists(pq_path):
+            continue
+        t = pq.read_table(pq_path)
+        tmp = ipc_path + ".tmp"
+        with pa.OSFile(tmp, "wb") as sink, \
+                pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+        os.rename(tmp, ipc_path)
 
 
 def build_page_stores(pages_path: str, n_shards: int) -> list:

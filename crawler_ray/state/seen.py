@@ -82,6 +82,7 @@ class SeenShard:
         self.exact = np.zeros(0, dtype=np.uint64)
         self.robots = robots                     # host -> [disallow prefixes]
         self._pending: dict[int, list[pa.Table]] = {}   # wave -> offered tables
+        self._offer_counts: dict[int, int] = {}          # wave -> offers landed
         self.frontier_shards: list | None = None
         self.metrics = {"robots_excluded": 0, "dup_discovery": 0, "admitted": 0,
                         "bloom_false_positives": 0}
@@ -109,7 +110,20 @@ class SeenShard:
         a CPU slot, and a burst of offers against a busy shard would
         otherwise stall the whole task pool."""
         self._pending.setdefault(wave, []).append(table)
+        self._offer_counts[wave] = self._offer_counts.get(wave, 0) + 1
         return 0
+
+    @ray.method(concurrency_group="offer")
+    def wave_offer_count(self, wave: int) -> int:
+        """How many offer() calls have landed for ``wave`` — the
+        shard-side barrier the driver falls back to when a task-owned
+        offer-ack ref can't be resolved (the ack's owner is the
+        transient worker that ran the parse task; if Ray reaps that
+        worker between task completion and retire, ``ray.get(acks)``
+        raises OwnerDiedError even though the offers themselves were
+        delivered). Runs in the offer lane so it never queues behind
+        an in-flight commit."""
+        return self._offer_counts.get(wave, 0)
 
     def commit_wave(self, wave: int = 0, visible_from: int = 0) -> int:
         """Dedup → robots → membership probe → admit → push admitted
@@ -137,6 +151,7 @@ class SeenShard:
 
     def _commit(self, wave: int) -> pa.Table | None:
         import pickle
+        self._offer_counts.pop(wave, None)   # barrier state is per-wave
         pending = self._pending.pop(wave, None)
         if not pending:
             return None
@@ -200,6 +215,7 @@ class SeenShard:
         self.bloom = self._make_filter(max(self.bloom.capacity, len(hashes)))
         self.bloom.add(hashes)
         self._pending = {}
+        self._offer_counts = {}
         return len(self.exact)
 
     def stats(self) -> dict:

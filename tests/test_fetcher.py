@@ -107,6 +107,69 @@ def test_politeness_under_concurrency():
     assert wall < 5 * interval, wall
 
 
+def test_end_to_start_spacing():
+    """Politeness spacing is END-to-start (the reference sleeps
+    between requests, after each response): when a response takes L
+    seconds, the next request to that host starts >= L + interval
+    after the previous one STARTED — a start-to-start stamp would
+    fire it after only max(L, interval)."""
+    now = [0.0]
+    latency, interval = 7.0, 5.0
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        now[0] += s
+
+    starts = []
+
+    def slow_fetch(url, timeout_s):
+        starts.append(now[0])
+        now[0] += latency            # response arrives L later
+        return 200, b"<html/>"
+
+    stage = FetcherStage(fetch_fn=slow_fetch, min_interval_s=interval,
+                         clock=clock, sleep=sleep)
+    stage(pa.table({"url": pa.array(
+        [f"https://h0.example/p{i}" for i in range(3)])}))
+    gaps = [b - a for a, b in zip(starts, starts[1:])]
+    assert all(abs(g - (latency + interval)) < 1e-9 for g in gaps), gaps
+
+
+def test_concurrent_fetch_across_hosts():
+    """max_concurrency > 1: distinct hosts in one batch fetch
+    concurrently (wall ~= the longest single-host chain, not the
+    sum) while each host's chain stays sequential and spaced."""
+    corpus = _corpus(n_hosts=4, per_host=3)
+    latency, interval = 0.02, 0.05
+    backend = FakeHttpBackend(corpus, latency_s=latency)
+    stage = FetcherStage(fetch_fn=backend, min_interval_s=interval,
+                         max_concurrency=4)
+    urls = sorted(corpus)            # h0,h0,h0,h1,... (host-grouped)
+    t0 = time.monotonic()
+    out = stage(pa.table({"url": pa.array(urls)}))
+    wall = time.monotonic() - t0
+    # row-aligned output regardless of chain scheduling
+    assert out["status"].to_pylist() == [200] * len(urls)
+    assert out["html"].to_pylist() == [corpus[u] for u in urls]
+    by_host = {}
+    for ts, host, _ in backend.calls:
+        by_host.setdefault(host, []).append(ts)
+    assert len(by_host) == 4
+    for host, ts in by_host.items():
+        ts.sort()
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        # end-to-start spacing: next start >= prev start + L + interval
+        assert all(g >= (latency + interval) * 0.9 for g in gaps), (
+            host, gaps)
+    # one host's chain = 3 fetches + 2 gaps ~= 0.17 s; serialized
+    # across 4 hosts would be ~0.68 s. Bound at 2x the chain to
+    # absorb thread-scheduler jitter on a loaded box.
+    chain = 3 * latency + 2 * interval
+    assert wall < 2 * chain, (wall, chain)
+
+
 def test_fetch_pages_live_dataset(ray_session):
     """Dataset-level seam: host-sharded groupby → per-group fetch;
     statuses/bodies correct, carry columns preserved."""
