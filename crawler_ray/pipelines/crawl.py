@@ -603,6 +603,25 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             ray.get(commits.pop(j))
 
     waves_done = 0
+    # per-epoch trajectory for the long-horizon leak check: URLs/s,
+    # checkpoint cost, and actor RSS/state size at every committed
+    # epoch (only populated when checkpoint_every is set — one stats
+    # RPC fan-out per epoch, nothing on the per-wave path)
+    epoch_log: list[dict] = []
+
+    def _record_epoch(ck_s: float, t_loop0: float) -> None:
+        f_st = ray.get([f.stats.remote() for f in frontier_shards])
+        s_st = ray.get([s.stats.remote() for s in seen_shards])
+        epoch_log.append({
+            "wave": wave, "window": window, "urls": pop_rank,
+            "loop_t_s": round(time.perf_counter() - t_loop0, 3),
+            "checkpoint_s": round(ck_s, 3),
+            "seen_size": sum(s["size"] for s in s_st),
+            "frontier_size": sum(f["size"] for f in f_st),
+            "frontier_rss_mb_max": max(f["rss_mb"] for f in f_st),
+            "seen_rss_mb_max": max(s["rss_mb"] for s in s_st),
+        })
+
     last_nonempty = wave - 1       # resume: checkpoint drains, so any
                                    # staged entries came from waves < wave
     # shared per-run parse context: ONE object-store entry instead of
@@ -772,10 +791,17 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             ray.get(load_refs)
             load_refs = []
             phase["load_wait"] += time.perf_counter() - t0
-        if cfg.checkpoint_every and wave % cfg.checkpoint_every == 0:
+        # cadence counts COMPLETED (non-empty) waves: the wave counter
+        # itself advances in strides of pipeline_depth through bubble
+        # waves, so `wave % checkpoint_every` aliases (P=3 strides hit
+        # post-increment values ≡1 mod 3 — checkpoint_every=3 would
+        # never fire)
+        if cfg.checkpoint_every and waves_done % cfg.checkpoint_every == 0:
             drain()                    # epoch = fully settled state
+            t_ck = time.perf_counter()
             _checkpoint(out_dir, wave, window, pop_rank,
                         frontier_shards, seen_shards)
+            _record_epoch(time.perf_counter() - t_ck, t_loop0)
             if stop_after_waves is not None and waves_done >= stop_after_waves:
                 return {"aborted_at_wave": wave, "out_dir": out_dir}
         # ---- end-of-iteration overlap work (order matters: never pop
@@ -803,6 +829,8 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     t0 = time.perf_counter()
     _checkpoint(out_dir, wave, window, pop_rank, frontier_shards, seen_shards)
     phase["final_checkpoint"] = time.perf_counter() - t0
+    if cfg.checkpoint_every:
+        _record_epoch(phase["final_checkpoint"], t_loop0)
     if _timing:
         import sys as _sys
         print("PHASE_TIMING "
@@ -826,6 +854,8 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         "dup_discovery": sum(s["dup_discovery"] for s in seen_stats),
         "frontier_remaining": sum(f["size"] for f in frontier_stats),
     }
+    if epoch_log:
+        summary["epoch_log"] = epoch_log
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

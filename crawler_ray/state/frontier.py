@@ -335,9 +335,10 @@ class FrontierShard:
         return n
 
     def stats(self) -> dict:
+        from crawler_ray.state import current_rss_mb
         return {"shard": self.shard_id, "size": self.size(),
                 "pushed": self.pushed, "popped": self.popped,
-                "hosts": len(self.queues)}
+                "hosts": len(self.queues), "rss_mb": current_rss_mb()}
 
 
 def make_frontier_shards(n_shards: int, robots_delay: dict, round_ms: int,

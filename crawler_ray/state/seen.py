@@ -219,7 +219,9 @@ class SeenShard:
         return len(self.exact)
 
     def stats(self) -> dict:
-        return {"shard": self.shard_id, "size": len(self.exact), **self.metrics}
+        from crawler_ray.state import current_rss_mb
+        return {"shard": self.shard_id, "size": len(self.exact),
+                "rss_mb": current_rss_mb(), **self.metrics}
 
 
 def make_seen_shards(n_shards: int, capacity_per_shard: int, robots: dict,
