@@ -71,27 +71,62 @@ CRAWL_TIERS = {
     # windows, 25k URLs/s; cap 1M -> 1 window).
     "scale4": dict(round_ms=36_000_000, politeness_cap=1_000_000,
                    seen_capacity_per_shard=2_000_000, store_text="docs"),
+    # long-horizon leak tier: 16M pages over 8192 EQUAL hosts with a
+    # BINDING politeness cap, so the drain runs ~18 equal-sized
+    # windows (uniform hosts ⇒ every window pops cap×hosts URLs —
+    # flat-throughput expectation) across multiple checkpoint epochs;
+    # per-epoch URLs/s + actor RSS land in the summary's epoch_log
+    "scale16": dict(round_ms=36_000_000, politeness_cap=120,
+                    seen_capacity_per_shard=2_000_000, store_text="docs",
+                    checkpoint_every=3),
+    # skew A/B (equal volume, equal tier config): skews puts 50% of
+    # all pages on ONE host and 10% of docs in ONE dup cluster; skewu
+    # is the perfectly-uniform control
+    "skewu": dict(round_ms=36_000_000, politeness_cap=1_000_000,
+                  store_text="docs"),
+    "skews": dict(round_ms=36_000_000, politeness_cap=1_000_000,
+                  store_text="docs"),
     "t1": dict(round_ms=60_000, politeness_cap=10_000),
+}
+
+# tier -> (base generator scale, WebConfig overrides) for fixtures
+# that aren't plain SCALES entries
+FIXTURE_SHAPES = {
+    "skewu": ("bench", dict(n_pages=600_000, results_per_listing=40,
+                            chain_max=8, uniform_hosts=True)),
+    "skews": ("bench", dict(n_pages=600_000, results_per_listing=40,
+                            chain_max=8, mega_host_share=0.5,
+                            dup_cluster_share=0.10)),
 }
 
 
 def _ensure_fixture(tier: str, n_shards: int = N_SHARDS) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from crawler_ray.fixtures import write_fixture
+    from crawler_ray.fixtures import write_fixture, write_fixture_parts
     from crawler_ray.sources.pages import prepare_sharded_pages
     fix = os.path.join(BENCH_ROOT, tier)
-    write_fixture(fix, tier)
-    prepare_sharded_pages(os.path.join(fix, "pages.parquet"),
+    if tier == "scale16":
+        # 4 scale4-shaped parts with disjoint host namespaces, built
+        # in parallel processes (uniform hosts: the horizon tier wants
+        # a flat per-window throughput expectation)
+        pages = write_fixture_parts(fix, "scale4", n_parts=4,
+                                    uniform_hosts=True)
+    else:
+        base, shape = FIXTURE_SHAPES.get(tier, (tier, {}))
+        write_fixture(fix, base, **shape)
+        pages = [os.path.join(fix, "pages.parquet")]
+    prepare_sharded_pages(pages if len(pages) > 1 else pages[0],
                           os.path.join(fix, f"sharded_{n_shards}"), n_shards)
     wide = os.path.join(fix, "seeds_wide.parquet")
-    if tier.startswith("scale") and not os.path.exists(wide):
+    if (tier.startswith("scale") or tier.startswith("skew")) \
+            and not os.path.exists(wide):
         # drain-bench seed list = every page URL (a mid-crawl
         # wide-frontier snapshot): measures steady-state frontier /
         # fetch / parse / dedup throughput rather than the link-depth
         # discovery latency that bounds any crawler's wave count
-        t = pq.read_table(os.path.join(fix, "pages.parquet"),
-                          columns=["url"])
+        t = pa.concat_tables(pq.read_table(p, columns=["url"])
+                             for p in pages)
         pq.write_table(pa.table({
             "url": t["url"],
             "source": pa.array(["drain"] * t.num_rows, pa.string()),
@@ -133,11 +168,14 @@ def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
         s = run_crawl(pages, os.path.join(fix, "seeds.parquet"),
                       robots, out, cfg)
     wall = time.time() - t0
-    return {"tier": tier, "sec": round(wall, 2),
-            "urls_fetched": s["urls_fetched"],
-            "urls_per_sec": round(s["urls_fetched"] / wall, 1),
-            "setup_s": s.get("setup_s"), "loop_s": s.get("loop_s"),
-            "waves": s["waves"], "windows": s["windows"]}
+    out = {"tier": tier, "sec": round(wall, 2),
+           "urls_fetched": s["urls_fetched"],
+           "urls_per_sec": round(s["urls_fetched"] / wall, 1),
+           "setup_s": s.get("setup_s"), "loop_s": s.get("loop_s"),
+           "waves": s["waves"], "windows": s["windows"]}
+    if s.get("epoch_log"):
+        out["epoch_log"] = s["epoch_log"]
+    return out
 
 
 def _warmup() -> None:
@@ -282,6 +320,21 @@ def embedding_dedup_recall(sf_dir: str) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--horizon", action="store_true",
+                    help="long-horizon leak check: drain the 16M-page "
+                         "scale16 tier (uniform hosts, binding "
+                         "politeness cap ⇒ ~18 equal windows) with "
+                         "checkpoint epochs every 3 waves; reports "
+                         "per-epoch URLs/s, checkpoint cost, and actor "
+                         "RSS so throughput drift or heap growth is "
+                         "visible epoch over epoch")
+    ap.add_argument("--skew", action="store_true",
+                    help="skew exhibit: equal-volume drain A/B (one "
+                         "host owns 50% of pages + one dup cluster "
+                         "owns 10% of docs, vs perfectly uniform) and "
+                         "a dedup A/B (10% one-cluster vs scattered "
+                         "pairs); reports wall-time inflation ratios "
+                         "against the <1.5x bar")
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--tier", default="bench")
@@ -421,6 +474,97 @@ def main() -> None:
     import crawler_ray
     crawler_ray.suppress_empty_schema_divergence_warning()
     _quiet_ray_data()
+
+    if args.horizon:
+        ns = args.shards or _n_shards(cpus)
+        _ensure_fixture("scale16", ns)
+        _warmup()
+        r = _crawl("scale16", f"horizon_{cpus}", wide_seeds=True,
+                   n_shards=ns)
+        epochs = r.pop("epoch_log", [])
+        # per-epoch deltas: URLs/s between consecutive epochs (the
+        # flatness series), RSS trajectory (the leak series)
+        rates, prev_u, prev_t = [], 0, 0.0
+        for e in epochs:
+            dt = e["loop_t_s"] - prev_t
+            rates.append(round((e["urls"] - prev_u) / dt, 1) if dt > 0
+                         else None)
+            prev_u, prev_t = e["urls"], e["loop_t_s"]
+        steady = [x for x in rates[1:] if x]   # epoch 0 includes ramp-up
+        flatness = (round(max(steady) / min(steady), 3)
+                    if len(steady) >= 2 else None)
+        print(json.dumps({
+            "metric": f"scale16 long-horizon drain ({cpus} CPUs, "
+                      f"{len(epochs)} checkpoint epochs)",
+            "value": r["sec"], "unit": "sec", "num_cpus": cpus,
+            "crawl": r,
+            "per_epoch_urls_per_sec": rates,
+            "steady_flatness_max_over_min": flatness,
+            "checkpoint_s": [e["checkpoint_s"] for e in epochs],
+            "seen_rss_mb_max": [e["seen_rss_mb_max"] for e in epochs],
+            "frontier_rss_mb_max": [e["frontier_rss_mb_max"]
+                                    for e in epochs],
+            "seen_size": [e["seen_size"] for e in epochs],
+            "epoch_log": epochs,
+        }))
+        ray.shutdown()
+        return
+
+    if args.skew:
+        ns = args.shards or _n_shards(cpus)
+        for tier in ("skewu", "skews"):
+            _ensure_fixture(tier, ns)
+        _warmup()
+        # interleaved min-of-2 drains, identical tier config
+        drains = {t: [] for t in ("skewu", "skews")}
+        for trial in range(2):
+            for tier in ("skewu", "skews"):
+                drains[tier].append(_crawl(tier, f"skew_{tier}_{trial}",
+                                           wide_seeds=True, n_shards=ns))
+        crawl_u = min(c["loop_s"] for c in drains["skewu"])
+        crawl_s = min(c["loop_s"] for c in drains["skews"])
+        # dedup A/B: 10% of docs in ONE near-dup cluster vs the same
+        # dup volume as scattered pairs; times the minhash-LSH pair
+        # stage (star-collapse keeps the mega bucket linear) plus
+        # full components assignment
+        from crawler_ray.dedup import minhash_lsh_pairs, dup_components
+        from crawler_ray.fixtures import write_documents_fixture
+        dd = {}
+        for name, kw in (("uniform", dict(dup_pair_share=0.10)),
+                         ("skewed", dict(dup_cluster_share=0.10))):
+            d = os.path.join(BENCH_ROOT, f"skewdocs_{name}")
+            write_documents_fixture(d, n_docs=40_000, **kw)
+            secs = []
+            for _ in range(2):
+                import ray.data as rd
+                t0 = time.time()
+                docs = rd.read_parquet(
+                    os.path.join(d, "documents.parquet"),
+                    columns=["doc_id", "text"])
+                pairs = minhash_lsh_pairs(docs, threshold=0.7)
+                ids = rd.read_parquet(
+                    os.path.join(d, "documents.parquet"),
+                    columns=["doc_id"])
+                comp = dup_components(pairs, ids)
+                n_comp = comp.to_pandas()["component"].nunique()
+                secs.append(time.time() - t0)
+            dd[name] = {"sec": round(min(secs), 2), "components": int(n_comp)}
+        crawl_ratio = round(crawl_s / crawl_u, 3)
+        dedup_ratio = round(dd["skewed"]["sec"] / dd["uniform"]["sec"], 3)
+        print(json.dumps({
+            "metric": "skew exhibit: wave-time inflation (skewed / "
+                      "uniform, equal volume, min-of-2 interleaved)",
+            "value": crawl_ratio, "unit": "ratio", "num_cpus": cpus,
+            "crawl_loop_s_uniform": crawl_u, "crawl_loop_s_skewed": crawl_s,
+            "crawl_inflation": crawl_ratio,
+            "crawl_bar_1_5x": crawl_ratio < 1.5,
+            "crawl_uniform": drains["skewu"], "crawl_skewed": drains["skews"],
+            "dedup_uniform": dd["uniform"], "dedup_skewed": dd["skewed"],
+            "dedup_inflation": dedup_ratio,
+            "dedup_bar_1_5x": dedup_ratio < 1.5,
+        }))
+        ray.shutdown()
+        return
 
     if args.crawl_only:
         ns = args.shards or _n_shards(cpus)

@@ -39,10 +39,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["WebConfig", "SyntheticWeb", "generate", "write_fixture", "SCALES"]
+__all__ = ["WebConfig", "SyntheticWeb", "generate", "write_fixture",
+           "write_fixture_parts", "SCALES", "HOST_COUNTS"]
 
 SCALES = {"t1": 2_000, "t2": 20_000, "bench": 200_000,
           "scale": 1_500_000, "scale4": 4_500_000}
+HOST_COUNTS = {"t1": 16, "t2": 64, "bench": 256, "scale": 1024,
+               "scale4": 2048}
 
 _LANGS = ["de", "da", "en", "fr", "bg", "hr", "el", "cz", "et", "fi", "hu",
           "it", "lv", "nl", "pl", "pt", "ro", "sk", "sl", "es", "se"]
@@ -76,6 +79,21 @@ class WebConfig:
     dup_title_rate: float = 0.01
     private_rate: float = 0.05      # details under a robots-disallowed prefix
     cross_host_link_rate: float = 0.20
+    # skew-exhibit knobs (round-5 verdict #3): a crawl fixture where
+    # ONE host owns mega_host_share of all detail pages (0 = keep the
+    # default 2×20% + zipf shape), or a perfectly flat host split
+    # (uniform_hosts — the equal-volume control for the skew A/B), and
+    # a global duplicate cluster owning dup_cluster_share of all
+    # details (one title+date shared across hosts — the spam-cluster
+    # shape that stresses dedup bucketing)
+    mega_host_share: float = 0.0
+    uniform_hosts: bool = False
+    dup_cluster_share: float = 0.0
+    # disjoint URL namespaces for multi-part generation: part k of a
+    # composite fixture uses host_offset = k * n_hosts so the parts'
+    # host names (and hence every URL) never collide — the scale16
+    # horizon tier is 4 scale4-shaped parts generated in parallel
+    host_offset: int = 0
     chain_max: int = 30             # max pagination-chain length; hosts with
                                     # more listing pages get an archive-index
                                     # page linking to chain heads (EDPB-style
@@ -129,6 +147,17 @@ class SyntheticWeb:
     def _host_weights(self) -> np.ndarray:
         n = self.cfg.n_hosts
         w = np.zeros(n)
+        if self.cfg.uniform_hosts:
+            w[:] = 1.0 / n
+            return w
+        if self.cfg.mega_host_share > 0:
+            # skew exhibit: host 0 owns the given share outright; the
+            # remaining hosts split the rest zipf-style
+            w[0] = self.cfg.mega_host_share
+            idx = np.arange(1, n, dtype=float)
+            z = 1.0 / idx
+            w[1:] = (1.0 - w[0]) * z / z.sum()
+            return w / w.sum()
         w[: min(2, n)] = 0.20
         rest = np.arange(1, n - min(2, n) + 1, dtype=float)
         if len(rest):
@@ -146,7 +175,7 @@ class SyntheticWeb:
         for i in range(cfg.n_hosts):
             self.hosts.append(Host(
                 idx=i,
-                name=f"host{i:03d}.example.org",
+                name=f"host{i + cfg.host_offset:03d}.example.org",
                 lang=_LANGS[i % len(_LANGS)],
                 fmt=_DATE_FMTS[i % len(_DATE_FMTS)],
                 backwards=(i % 5 == 3),
@@ -162,6 +191,22 @@ class SyntheticWeb:
                 private = (h.disallow and rng.random() < self.cfg.private_rate)
                 prefix = "/private/doc/" if private else "/doc/"
                 url = f"https://{h.name}{prefix}{j}"
+                # global dup cluster (skew exhibit): one title + one
+                # date + one body shared across hosts. Guarded by the
+                # short-circuit so the RNG draw sequence — and hence
+                # every existing fixture — is untouched when the knob
+                # is off.
+                if cfg.dup_cluster_share > 0 \
+                        and rng.random() < cfg.dup_cluster_share:
+                    d = (np.datetime64("2016-01-01")
+                         + np.timedelta64(1500, "D")).astype("datetime64[D]")
+                    h.details.append(Detail(
+                        url, "Decision cluster-0 on cookies",
+                        d.astype(object).strftime(h.fmt), 1500,
+                        [" ".join(_VOCAB[k % len(_VOCAB)]
+                                  for k in range(17))]))
+                    all_details.append((h.idx, j))
+                    continue
                 reuse_date = None
                 if prev_titles and rng.random() < cfg.dup_title_rate:
                     # duplicate title — half with a different date
@@ -344,9 +389,7 @@ class SyntheticWeb:
 
 
 def generate(scale: str = "t1", seed: int = 42, **overrides) -> SyntheticWeb:
-    kw = {"n_pages": SCALES[scale],
-          "n_hosts": {"t1": 16, "t2": 64, "bench": 256, "scale": 1024,
-                      "scale4": 2048}[scale]}
+    kw = {"n_pages": SCALES[scale], "n_hosts": HOST_COUNTS[scale]}
     if scale.startswith("scale"):
         # throughput-bench shape: wide listings / shallow chains so
         # waves are dominated by parallel parse work, not by the
@@ -355,6 +398,109 @@ def generate(scale: str = "t1", seed: int = 42, **overrides) -> SyntheticWeb:
         kw.update({"results_per_listing": 40, "chain_max": 8})
     kw.update(overrides)
     return SyntheticWeb(WebConfig(seed=seed, **kw))
+
+
+def _write_part(args: tuple) -> str:
+    """Generate ONE part of a composite fixture (own process — the
+    model build is single-threaded Python, so parts parallelize
+    perfectly across processes)."""
+    out_dir, scale, seed, k, n_hosts, overrides = args
+    path = os.path.join(out_dir, f"pages_part-{k}.parquet")
+    if os.path.exists(path + ".done"):
+        return path
+    web = generate(scale, seed + k, host_offset=k * n_hosts, **overrides)
+    pq.write_table(web.pages_table(), path, row_group_size=4096)
+    pq.write_table(web.seeds_table(),
+                   os.path.join(out_dir, f"seeds_part-{k}.parquet"))
+    pq.write_table(web.robots_table(),
+                   os.path.join(out_dir, f"robots_part-{k}.parquet"))
+    with open(path + ".done", "w") as f:
+        f.write("ok\n")
+    return path
+
+
+def write_fixture_parts(out_dir: str, scale: str = "scale4",
+                        n_parts: int = 4, seed: int = 42,
+                        **overrides) -> list:
+    """Composite fixture: ``n_parts`` independently-generated webs
+    with disjoint host namespaces (``host_offset``), built in parallel
+    processes. Returns the list of pages part files; seeds/robots are
+    merged into the usual single files. This is how the 16M-page
+    ``scale16`` horizon tier is built — one 16M-page model would need
+    a single ~1-hour single-threaded build and a >40 GB driver heap."""
+    from concurrent.futures import ProcessPoolExecutor
+    marker = os.path.join(out_dir, "_DONE_PARTS")
+    hosts_per_part = HOST_COUNTS[scale]
+    paths = [os.path.join(out_dir, f"pages_part-{k}.parquet")
+             for k in range(n_parts)]
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = [(out_dir, scale, seed, k, hosts_per_part, overrides)
+            for k in range(n_parts)]
+    with ProcessPoolExecutor(max_workers=n_parts) as ex:
+        list(ex.map(_write_part, jobs))
+    for name in ("seeds", "robots"):
+        parts = [pq.read_table(os.path.join(out_dir,
+                                            f"{name}_part-{k}.parquet"))
+                 for k in range(n_parts)]
+        pq.write_table(pa.concat_tables(parts),
+                       os.path.join(out_dir, f"{name}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return paths
+
+
+def write_documents_fixture(out_dir: str, n_docs: int = 40_000,
+                            dup_cluster_share: float = 0.0,
+                            dup_pair_share: float = 0.0,
+                            seed: int = 7) -> str:
+    """``documents``-table fixture for the dedup skew exhibit (same
+    schema as the driver testdata: doc_id, text, lang, source,
+    n_chars). ``dup_cluster_share`` puts that fraction of docs into
+    ONE near-dup cluster (each member = a 120-word base text with one
+    word swapped — pairwise shingle-Jaccard ≈ 0.85-0.95, far above
+    the 0.5/0.7 thresholds, so the cluster is a clique); the
+    equal-volume control uses ``dup_pair_share``: the same fraction
+    of docs, but as scattered independent near-dup PAIRS."""
+    marker = os.path.join(out_dir, "_DONE")
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = [_VOCAB[int(k)] for k in rng.integers(0, len(_VOCAB), 120)]
+    n_cluster = int(n_docs * dup_cluster_share)
+    n_paired = int(n_docs * dup_pair_share) // 2 * 2
+    texts: list[str] = []
+    for i in range(n_cluster):
+        w = list(base)
+        w[i % len(w)] = _VOCAB[i % len(_VOCAB)]
+        texts.append(" ".join(w))
+    i = n_cluster
+    while i < n_cluster + n_paired:
+        w = [_VOCAB[int(k)] for k in rng.integers(0, len(_VOCAB), 120)]
+        texts.append(" ".join(w))
+        w2 = list(w)
+        w2[i % len(w2)] = _VOCAB[(i + 1) % len(_VOCAB)]
+        texts.append(" ".join(w2))
+        i += 2
+    for i in range(len(texts), n_docs):
+        n_words = 80 + int(rng.integers(0, 120))
+        texts.append(" ".join(
+            _VOCAB[int(k)] for k in rng.integers(0, len(_VOCAB), n_words)))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n_docs, pa.string()),
+        "source": pa.array([f"src{i % 20:02d}" for i in range(n_docs)],
+                           pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, path, row_group_size=8192)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
 
 
 def write_fixture(out_dir: str, scale: str = "t1", seed: int = 42,

@@ -205,42 +205,47 @@ def join_pages(popped: pa.Table, corpus: pa.Table | None,
                .append_column("lang", page_rows["lang"])
                .append_column("warc_ts", page_rows["warc_ts"]))
 
-def prepare_sharded_pages(pages_path: str, out_dir: str,
+def prepare_sharded_pages(pages_path: str | list, out_dir: str,
                           n_shards: int) -> str:
     """One-time corpus indexing: canonicalize + hash every url, split
     rows into ``shard-xxxxx.parquet`` by ``url_hash % n_shards``
-    (idempotent via meta.json). One streaming driver pass over the row
-    groups; at 100 TB this is a Ray Data ``map_batches`` +
+    (idempotent via meta.json). Accepts one parquet file or a list of
+    part files (multi-part fixtures — scale16 — stream part after
+    part into the same shard writers). One streaming driver pass over
+    the row groups; at 100 TB this is a Ray Data ``map_batches`` +
     partitioned ``write_parquet`` job with the same layout."""
     import json
     import os
+    paths = [pages_path] if isinstance(pages_path, str) else list(pages_path)
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
         if json.load(open(meta_path))["n_shards"] == n_shards:
             _ensure_ipc_sidecars(out_dir, n_shards)
             return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    pf = pq.ParquetFile(pages_path)
     writers: list[pq.ParquetWriter | None] = [None] * n_shards
     try:
-        for rg in range(pf.num_row_groups):
-            t = pf.read_row_group(rg, columns=FETCH_COLS)
-            urls = [canonicalize(u) for u in t["url"].to_pylist()]
-            hashes = np.array(hash64_many(urls), dtype=np.uint64)
-            t = (t.set_column(t.schema.get_field_index("url"), "url",
-                              pa.array(urls, pa.string()))
-                  .append_column("url_hash", pa.array(hashes, pa.uint64())))
-            shard = (hashes % np.uint64(n_shards)).astype(np.int64)
-            for s in range(n_shards):
-                mask = shard == s
-                if not mask.any():
-                    continue
-                part = t.filter(pa.array(mask))
-                if writers[s] is None:
-                    writers[s] = pq.ParquetWriter(
-                        os.path.join(out_dir, f"shard-{s:05d}.parquet"),
-                        part.schema)
-                writers[s].write_table(part)
+        for path in paths:
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg, columns=FETCH_COLS)
+                urls = [canonicalize(u) for u in t["url"].to_pylist()]
+                hashes = np.array(hash64_many(urls), dtype=np.uint64)
+                t = (t.set_column(t.schema.get_field_index("url"), "url",
+                                  pa.array(urls, pa.string()))
+                      .append_column("url_hash",
+                                     pa.array(hashes, pa.uint64())))
+                shard = (hashes % np.uint64(n_shards)).astype(np.int64)
+                for s in range(n_shards):
+                    mask = shard == s
+                    if not mask.any():
+                        continue
+                    part = t.filter(pa.array(mask))
+                    if writers[s] is None:
+                        writers[s] = pq.ParquetWriter(
+                            os.path.join(out_dir, f"shard-{s:05d}.parquet"),
+                            part.schema)
+                    writers[s].write_table(part)
     finally:
         for w in writers:
             if w is not None:
@@ -248,7 +253,7 @@ def prepare_sharded_pages(pages_path: str, out_dir: str,
     for s in range(n_shards):            # empty shards still need a file
         p = os.path.join(out_dir, f"shard-{s:05d}.parquet")
         if not os.path.exists(p):
-            empty = pq.ParquetFile(pages_path).schema_arrow
+            empty = pq.ParquetFile(paths[0]).schema_arrow
             sch = pa.schema(
                 [empty.field(c) for c in FETCH_COLS]
                 + [pa.field("url_hash", pa.uint64())])
