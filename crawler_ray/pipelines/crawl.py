@@ -285,12 +285,21 @@ def _parse_and_emit(batch: pa.Table, html_views: list | None,
     if cands.num_rows:
         hashes = cands["url_hash"].to_numpy(zero_copy_only=False)
         shard = (hashes % np.uint64(len(seen_shards))).astype(np.int64)
+        # ONE stable sort + per-shard index takes instead of a full
+        # boolean scan/filter per shard: the loop was O(n·shards) and
+        # shard count scales with CPUs, so at 16+ shards the scans
+        # dominated the offer section's task CPU (take, not slice —
+        # pickling a slice serializes the backing buffers whole)
+        order = np.argsort(shard, kind="stable")
+        bounds = np.searchsorted(shard[order],
+                                 np.arange(len(seen_shards) + 1))
         for s in range(len(seen_shards)):
-            mask = shard == s
-            if mask.any():
-                acks.append(seen_shards[s].offer.remote(
-                    pack(cands.filter(pa.array(mask))), wave))
-                offered.append(s)
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            if lo == hi:
+                continue
+            acks.append(seen_shards[s].offer.remote(
+                pack(cands.take(pa.array(order[lo:hi]))), wave))
+            offered.append(s)
     t3 = time.perf_counter()
     # The offer ACK REFS return to the driver instead of being
     # ray.get'd here: blocking in-task cost ~8 ms of held CPU slot
@@ -390,12 +399,14 @@ def _offer_candidates(cands: pa.Table, seen_shards: list,
         return
     hashes = cands["url_hash"].to_numpy(zero_copy_only=False)
     shard = (hashes % np.uint64(len(seen_shards))).astype(np.int64)
+    order = np.argsort(shard, kind="stable")
+    bounds = np.searchsorted(shard[order], np.arange(len(seen_shards) + 1))
     acks = []
     for s in range(len(seen_shards)):
-        mask = shard == s
-        if mask.any():
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        if lo != hi:
             acks.append(seen_shards[s].offer.remote(
-                pack(cands.filter(pa.array(mask))), wave))
+                pack(cands.take(pa.array(order[lo:hi]))), wave))
     ray.get(acks)
 
 
@@ -529,7 +540,19 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             ray.get(setup_refs + load_refs)
             _checkpoint(out_dir, 0, 0, 0, frontier_shards, seen_shards)
             return {"seeded": True, "out_dir": out_dir}
-    ray.get(setup_refs)                 # state barrier only (cheap)
+    # NO state barrier here: per-caller FIFO ordering on each actor
+    # already serializes every later driver call behind that shard's
+    # restore (the first pop_wave on a frontier shard cannot run
+    # before its restore; seen commits are driver-ordered behind
+    # set_frontier/restore the same way), and cross-caller arrivals
+    # (parse-task offers) only append to the offer buffer, which
+    # restore does not touch. Frontier pushes from seen shards can
+    # only follow a commit, which follows a completed pop, which
+    # proves that shard's restore finished. So the restore parquet
+    # reads and the actor worker-process cold starts overlap wave 0's
+    # pop/rank/dispatch instead of sitting on the critical path; the
+    # refs are awaited once at the wave-0 error barrier below so a
+    # corrupt checkpoint still fails the run loudly.
     corpus_refs = None
     if cfg.fetch_mode == "indices":
         # one plasma-resident corpus copy per shard; fetch returns
@@ -736,12 +759,19 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         t0 = time.perf_counter()
         refs = []
         # work-unit size scales with the wave so a frontier-wide mega
-        # wave doesn't dispatch thousands of tasks: target ~16 tasks
-        # per CPU (plenty of stealing granularity), floor parse_batch
+        # wave doesn't dispatch thousands of tasks. Target tasks/wave =
+        # max(64, 6/CPU): every task pays fixed costs that SCALE WITH
+        # SHARD COUNT (an offer pack+dispatch per seen shard, a plasma
+        # read, a scheduling round trip), so the old flat 16-tasks/CPU
+        # target made total offer CPU grow ~quadratically with CPUs
+        # (4x tasks x 4x shard messages from 4->16 CPUs, measured
+        # 7.3 -> 29.9 task-CPU-s on the scale4 drain). 64 keeps small
+        # boxes at their measured-best granularity; stragglers at the
+        # coarser high-CPU batch hide behind the P-deep wave pipeline
         # (task results are row-independent, so the batch size never
-        # affects crawl output — only scheduling)
+        # affects crawl output — only scheduling).
         batch = max(cfg.parse_batch,
-                    -(-n // (n_cpus * 16)))          # ceil-div
+                    -(-n // max(64, n_cpus * 6)))    # ceil-div
         fetch_chunk = batch * 4
         for s in range(cfg.n_page_shards):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
@@ -780,16 +810,18 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         inflight.append((wave, refs, tmp_wave, wave_dir))
         wave += 1
         waves_done += 1
-        if load_refs:
-            # corpus-load error barrier, crossed once: wave 0 is
+        if load_refs or setup_refs:
+            # setup/corpus-load error barrier, crossed once: wave 0 is
             # dispatched (its fetches FIFO-queue behind each shard's
-            # load), so a failed load surfaces here instead of
-            # silently 404-ing the whole crawl. With the IPC-mmap
-            # layout this is milliseconds; with the parquet fallback
-            # it overlaps wave 0's pop/rank/dispatch.
+            # load, its pop queued behind each frontier restore), so a
+            # failed load OR a corrupt checkpoint restore surfaces
+            # here instead of silently 404-ing / empty-popping the
+            # whole crawl. With the IPC-mmap layout this is
+            # milliseconds; with the parquet fallback it overlaps
+            # wave 0's pop/rank/dispatch.
             t0 = time.perf_counter()
-            ray.get(load_refs)
-            load_refs = []
+            ray.get(load_refs + setup_refs)
+            load_refs, setup_refs = [], []
             phase["load_wait"] += time.perf_counter() - t0
         # cadence counts COMPLETED (non-empty) waves: the wave counter
         # itself advances in strides of pipeline_depth through bubble

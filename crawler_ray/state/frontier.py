@@ -49,12 +49,19 @@ _INT_COLS = ("depth", "parent_order", "dom_idx", "url_hash")
 
 
 def frontier_shard_of(hosts, n_shards: int) -> np.ndarray:
-    """Stable host→shard assignment (blake2b-derived, python-hash-free)."""
+    """Stable host→shard assignment (blake2b-derived, python-hash-free).
+
+    Hashes each UNIQUE host once and scatters via the inverse index —
+    commit batches repeat a handful of hosts thousands of times, so the
+    per-row blake2b loop was ~100x more digest calls than needed."""
     import hashlib
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(h.encode(), digest_size=4).digest(),
-                        "big") % n_shards
-         for h in hosts], dtype=np.int32)
+    uniq, inv = np.unique(np.asarray(hosts, dtype=object),
+                          return_inverse=True)
+    codes = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(h.encode(), digest_size=4).digest(),
+                        "big") % n_shards for h in uniq),
+        dtype=np.int32, count=len(uniq))
+    return codes[inv].astype(np.int32, copy=False)
 
 
 def _as_array(a) -> pa.Array:

@@ -140,12 +140,17 @@ class SeenShard:
         from crawler_ray.state.frontier import frontier_shard_of
         shard = frontier_shard_of(t["host"].to_pylist(),
                                   len(self.frontier_shards))
+        # one stable sort + per-shard takes (not a boolean scan per
+        # shard — shard count scales with CPUs; see _parse_and_emit)
+        order = np.argsort(shard, kind="stable")
+        bounds = np.searchsorted(shard[order],
+                                 np.arange(len(self.frontier_shards) + 1))
         refs = []
         for i in range(len(self.frontier_shards)):
-            mask = shard == i
-            if mask.any():
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if lo != hi:
                 refs.append(self.frontier_shards[i].push.remote(
-                    pack(t.filter(pa.array(mask)))))
+                    pack(t.take(pa.array(order[lo:hi])))))
         ray.get(refs)
         return t.num_rows
 
