@@ -546,13 +546,19 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     # before its restore; seen commits are driver-ordered behind
     # set_frontier/restore the same way), and cross-caller arrivals
     # (parse-task offers) only append to the offer buffer, which
-    # restore does not touch. Frontier pushes from seen shards can
-    # only follow a commit, which follows a completed pop, which
-    # proves that shard's restore finished. So the restore parquet
-    # reads and the actor worker-process cold starts overlap wave 0's
-    # pop/rank/dispatch instead of sitting on the critical path; the
-    # refs are awaited once at the wave-0 error barrier below so a
-    # corrupt checkpoint still fails the run loudly.
+    # restore PRESERVES — offers run in their own concurrency lane,
+    # so on a cold, contended actor an offer can execute before the
+    # queued default-lane restore; SeenShard.restore therefore must
+    # not (and does not) reset _pending/_offer_counts (a wipe there
+    # lost offers ~1/10 resumed runs on a 4-CPU box). Frontier pushes
+    # from seen shards can only follow a commit, which follows a
+    # completed pop ON EVERY SHARD (the driver ray.gets all pop refs
+    # before dispatching tasks), which proves every frontier restore
+    # finished. So the restore parquet reads and the actor
+    # worker-process cold starts overlap wave 0's pop/rank/dispatch
+    # instead of sitting on the critical path; the refs are awaited
+    # once at the wave-0 error barrier below so a corrupt checkpoint
+    # still fails the run loudly.
     corpus_refs = None
     if cfg.fetch_mode == "indices":
         # one plasma-resident corpus copy per shard; fetch returns

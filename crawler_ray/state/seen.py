@@ -214,13 +214,21 @@ class SeenShard:
         return len(self.exact)
 
     def restore(self, path: str) -> int:
+        """Rebuild membership state (exact array + filter) from an
+        epoch snapshot. MUST NOT touch ``_pending``/``_offer_counts``:
+        ``offer`` runs in its own concurrency lane, so on resume a
+        parse-task offer can legitimately land while this default-lane
+        call is still queued behind a cold actor start — wiping the
+        buffers here silently dropped those offers (lost discovered
+        links, resumed run ≠ uninterrupted run; reproduced ~1/10 runs
+        on a contended 4-CPU box). Offers never read membership state
+        and every commit_wave is driver-ordered AFTER this restore, so
+        preserving the buffers is safe under any interleaving."""
         hashes = pq.read_table(path)["url_hash"].to_numpy(
             zero_copy_only=False).astype(np.uint64)
         self.exact = np.sort(hashes)
         self.bloom = self._make_filter(max(self.bloom.capacity, len(hashes)))
         self.bloom.add(hashes)
-        self._pending = {}
-        self._offer_counts = {}
         return len(self.exact)
 
     def stats(self) -> dict:
