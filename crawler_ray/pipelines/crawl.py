@@ -229,7 +229,7 @@ def _parse_task(fetched: pa.Table, start: int, stop: int, part_path: str,
 def _parse_task_idx(popped: pa.Table, a_start: int, a_stop: int,
                     corpus: pa.Table, idx: pa.Table, i_start: int,
                     i_stop: int, part_path: str, wave: int, ctx: dict,
-                    salt: int = 0) -> tuple:
+                    salt: int = 0, order: np.ndarray | None = None) -> tuple:
     """fetch_mode="indices" work-unit: the popped wave table, the
     shard's plasma-resident corpus and the chunk's (row, -1=404)
     index table all arrive zero-copy; the batch is the popped slice +
@@ -238,7 +238,11 @@ def _parse_task_idx(popped: pa.Table, a_start: int, a_stop: int,
     of the "rows" mode never exists."""
     from crawler_ray.stages.parse import binary_views_at
 
-    sliced = popped.slice(a_start, a_stop - a_start)
+    if order is not None:       # page-shard routing via the shared
+        sliced = popped.take(   # order array (rows-mode notes apply)
+            pa.array(order[a_start:a_stop], pa.int64()))
+    else:
+        sliced = popped.slice(a_start, a_stop - a_start)
     rows = idx["row"].to_numpy(zero_copy_only=False)[i_start:i_stop]
     status = pa.array(np.where(rows >= 0, 200, 404).astype(np.int16))
     lang = corpus["lang"].take(pa.array(rows, pa.int64(), mask=rows < 0))
@@ -700,7 +704,8 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         if pending_pop is not None and pending_pop[0] == wave:
             pop_refs = pending_pop[1]
         else:
-            pop_refs = [f.pop_wave.remote(wave) for f in frontier_shards]
+            pop_refs = [f.pop_wave_parts.remote(wave)
+                        for f in frontier_shards]
         pending_pop = None
         parts = [t for t in ray.get(pop_refs) if t is not None]
         phase["pop"] += time.perf_counter() - t0
@@ -724,12 +729,25 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             break
         last_nonempty = wave
         t0 = time.perf_counter()
-        popped = pa.concat_tables(parts)
-        order = pc.sort_indices(popped, sort_keys=[
-            ("host", "ascending"), ("depth", "ascending"),
-            ("parent_order", "ascending"), ("dom_idx", "ascending")])
-        popped = popped.take(order)
-        phase["rank_sort"] += time.perf_counter() - t0
+        # global rank order WITHOUT a driver-blocked O(wave) sort:
+        # each shard's pop is host-ascending with per-host pieces
+        # already priority-sorted, and hosts are hash-partitioned
+        # (one shard per host), so sorting the ~n_hosts PIECES by
+        # host name and concatenating zero-copy slices reproduces the
+        # old sort_indices((host, depth, parent_order, dom_idx))
+        # order exactly (UTF-8 byte order == codepoint order). ONE
+        # combine_chunks materializes the wave contiguously for the
+        # single ray.put below — a sequential memcopy instead of the
+        # old sort + two gather-takes (was rank_sort 1.3 s + a
+        # page-shard take, constant across CPU levels).
+        pieces: list[tuple[str, pa.Table]] = []
+        for t, starts, hosts in parts:
+            stops = starts[1:] + [t.num_rows]
+            for h, lo, hi in zip(hosts, starts, stops):
+                pieces.append((h, t.slice(lo, hi - lo)))
+        pieces.sort(key=lambda p: p[0])
+        popped = pa.concat_tables([p[1] for p in pieces]).combine_chunks()
+        phase["rank_merge"] += time.perf_counter() - t0
         n = popped.num_rows
         popped = (popped
                   .append_column("pop_rank", pa.array(
@@ -752,15 +770,18 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         t0 = time.perf_counter()
         hashes = popped["url_hash"].to_numpy(zero_copy_only=False)
         shard = (hashes % np.uint64(cfg.n_page_shards)).astype(np.int64)
-        # stable-sort the ranked wave by page shard → contiguous
-        # per-shard slices of ONE object-store entry (no per-shard
-        # pickling; every fetch call slices the shared table zero-copy)
+        # page-shard routing WITHOUT a second driver-side gather: the
+        # rank-ordered wave is put ONCE, plus one int64 order array;
+        # each fetch call selects its rows via order[start:stop]
+        # shard-side (the take cost runs n_page_shards-wide in the
+        # actors instead of serially on the driver). Row sets and
+        # row order per task are bit-identical to the old
+        # popped.take(shard_order) contiguous-slice layout.
         shard_order = np.argsort(shard, kind="stable")
-        popped_s = popped.take(pa.array(shard_order))
-        shard_sorted = shard[shard_order]
-        bounds = np.searchsorted(shard_sorted,
+        bounds = np.searchsorted(shard[shard_order],
                                  np.arange(cfg.n_page_shards + 1))
-        popped_ref = ray.put(popped_s)
+        popped_ref = ray.put(popped)
+        order_ref = ray.put(shard_order)
         phase["shard_put"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         refs = []
@@ -790,7 +811,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                 c_stop = min(c_start + fetch_chunk, hi)
                 if corpus_refs is not None:
                     idx_ref = page_stores[s].fetch_indices.remote(
-                        popped_ref, c_start, c_stop)
+                        popped_ref, c_start, c_stop, order_ref)
                     for b, start in enumerate(
                             range(0, c_stop - c_start, batch)):
                         stop = min(start + batch, c_stop - c_start)
@@ -800,10 +821,10 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                             os.path.join(
                                 tmp_wave,
                                 f"part-{s:05d}-{c:05d}-{b:05d}.parquet"),
-                            wave, ctx_ref, len(refs)))
+                            wave, ctx_ref, len(refs), order_ref))
                     continue
                 fetched_ref = page_stores[s].fetch.remote(
-                    popped_ref, c_start, c_stop)
+                    popped_ref, c_start, c_stop, order_ref)
                 for b, start in enumerate(
                         range(0, c_stop - c_start, batch)):
                     stop = min(start + batch, c_stop - c_start)
@@ -860,7 +881,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             if all(_all_ready(commits[j]) for j in need):
                 for j in need:
                     ray.get(commits.pop(j))
-                pending_pop = (wave, [f.pop_wave.remote(wave)
+                pending_pop = (wave, [f.pop_wave_parts.remote(wave)
                                       for f in frontier_shards])
 
     phase["loop_total"] = time.perf_counter() - t_loop0

@@ -140,15 +140,20 @@ class PageStore:
         return self._corpus_ref
 
     def fetch_indices(self, popped, start: int = 0,
-                      stop: int | None = None) -> pa.Table:
+                      stop: int | None = None,
+                      order: np.ndarray | None = None) -> pa.Table:
         """Index-only fetch join: probe the sorted url_hash index for
         the popped slice and return ONE int64 column ``row`` (-1 =
         miss/404) aligned to the slice rows — ~8 B/url through the
         object store instead of the joined html (~1 KB/url). The
         parse tasks read the actual page rows zero-copy from the
-        shard's published plasma corpus (see ``publish``)."""
+        shard's published plasma corpus (see ``publish``). With
+        ``order`` the slice rows are ``popped[order[start:stop]]``
+        (the crawl's page-shard routing indices; see ``fetch``)."""
         popped = unpack(popped)
-        if stop is not None:
+        if order is not None:
+            popped = popped.take(pa.array(order[start:stop], pa.int64()))
+        elif stop is not None:
             popped = popped.slice(start, stop - start)
         hashes = popped["url_hash"].to_numpy(
             zero_copy_only=False).astype(np.uint64)
@@ -163,17 +168,23 @@ class PageStore:
         return pa.table({"row": pa.array(rows)})
 
     # -- fetch-only (join) ------------------------------------------------
-    def fetch(self, popped, start: int = 0, stop: int | None = None
-              ) -> pa.Table:
+    def fetch(self, popped, start: int = 0, stop: int | None = None,
+              order: np.ndarray | None = None) -> pa.Table:
         """Join popped frontier rows against this shard's pages.
         Returns popped columns + ``status`` (200/404) + page columns
         (html/lang/warc_ts; nulls on 404). ``popped`` may be a packed
         blob (small control tables) or a shared object-store Arrow
         table with ``[start, stop)`` bounds — the big-wave path where
         the driver puts the ranked table once and every fetch slices
-        it zero-copy."""
+        it zero-copy. With ``order`` (one shared int64 array per
+        wave) the selection is ``popped[order[start:stop]]`` — the
+        crawl keeps the wave in RANK order and ships page-shard
+        routing as indices, so the gather runs here, shard-parallel,
+        instead of as a driver-blocked take."""
         popped = unpack(popped)
-        if stop is not None:
+        if order is not None:
+            popped = popped.take(pa.array(order[start:stop], pa.int64()))
+        elif stop is not None:
             popped = popped.slice(start, stop - start)
         return join_pages(popped, self.table, self.sorted_hashes, self.perm)
 

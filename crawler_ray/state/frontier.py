@@ -219,6 +219,22 @@ class FrontierShard:
     def pop_wave(self, wave: int | None = None) -> pa.Table | None:
         """Activate entries visible at ``wave``, then pop up to each
         host's remaining window budget, priority order."""
+        r = self.pop_wave_parts(wave)
+        return None if r is None else r[0]
+
+    def pop_wave_parts(self, wave: int | None = None
+                       ) -> tuple[pa.Table, list[int], list[str]] | None:
+        """``pop_wave`` plus the per-host piece layout: returns
+        ``(table, starts, hosts)`` where ``table[starts[k]:starts[k+1]]``
+        is host ``hosts[k]``'s pop, already priority-sorted
+        (depth, parent_order, dom_idx) and host-ascending. Hosts are
+        hash-partitioned so a host appears on exactly ONE shard —
+        the driver's global rank order is therefore a host-ascending
+        MERGE of these pieces across shards (zero-copy slices +
+        concat), identical to the old 4-key ``sort_indices`` over the
+        concatenated wave but without the O(wave) driver-blocked sort
+        (measured 1.3 s per 4M-URL wave at every CPU level — pure
+        Amdahl serial head)."""
         self._activate(wave)
         parts: list[tuple[str, dict]] = []
         for host in sorted(self.queues):
@@ -239,8 +255,8 @@ class FrontierShard:
         self.popped += total
         merged = _concat([c for _, c in parts])
         host_col = pa.concat_arrays(
-            [pa.array([h] * _chunk_len(c), pa.string()) for h, c in parts])
-        return pa.table({
+            [_as_array(pa.repeat(h, _chunk_len(c))) for h, c in parts])
+        table = pa.table({
             "url": _as_array(merged["url"]),
             "url_hash": pa.array(merged["url_hash"], pa.uint64()),
             "host": host_col,
@@ -248,6 +264,11 @@ class FrontierShard:
             "parent_order": pa.array(merged["parent_order"], pa.int64()),
             "dom_idx": pa.array(merged["dom_idx"], pa.int32()),
         })
+        sizes = [_chunk_len(c) for _, c in parts]
+        starts = [0]
+        for s in sizes[:-1]:
+            starts.append(starts[-1] + s)
+        return table, starts, [h for h, _ in parts]
 
     def reset_window(self) -> None:
         self.remaining = {}
