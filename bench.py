@@ -69,6 +69,12 @@ CRAWL_TIERS = {
     # window inserts a global barrier and the drain measures barrier
     # overhead instead of engine throughput (measured: cap 50k -> 17
     # windows, 25k URLs/s; cap 1M -> 1 window).
+    # pipeline depth stays 3 on the drain tiers — measured interleaved
+    # A/B at 16 CPUs (CRAWLER_RAY_P seam): P=4 ran 56.4/79.2 s vs
+    # P=3's 48.1/60.5 s. Deeper visibility lag defers the 404-discovery
+    # tail (visible_from = w+P), splitting the drain into 16 waves
+    # instead of 12 — more per-wave fixed cost and narrower parse
+    # windows outweigh the extra pop/commit overlap the depth buys.
     "scale4": dict(round_ms=36_000_000, politeness_cap=1_000_000,
                    seen_capacity_per_shard=2_000_000, store_text="docs"),
     # long-horizon leak tier: 16M pages over 8192 EQUAL hosts with a
@@ -142,12 +148,15 @@ def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
     fix = _ensure_fixture(tier, n_shards)
     out = os.path.join(BENCH_ROOT, f"out_{out_tag}")
     shutil.rmtree(out, ignore_errors=True)
+    tier_cfg = dict(CRAWL_TIERS[tier])
+    if "CRAWLER_RAY_P" in os.environ:      # A/B seam, like fetch_mode
+        tier_cfg["pipeline_depth"] = int(os.environ["CRAWLER_RAY_P"])
     cfg = CrawlConfig(n_frontier_shards=n_shards, n_seen_shards=n_shards,
                       n_page_shards=n_shards,
                       # A/B seam for the fetch-path experiments
                       fetch_mode=os.environ.get("CRAWLER_RAY_FETCH_MODE",
                                                 "rows"),
-                      **CRAWL_TIERS[tier])
+                      **tier_cfg)
     pages = os.path.join(fix, f"sharded_{n_shards}")
     robots = os.path.join(fix, "robots.parquet")
     if wide_seeds:

@@ -140,6 +140,27 @@ class CrawlConfig:
                                        # rows only — the reference's
                                        # storage semantics, used by the
                                        # scale drain bench)
+    state_cpu_reserve: float = 0.0
+                                       # CPU cores' worth of headroom kept
+                                       # free of parse tasks (implemented
+                                       # by over-requesting num_cpus on
+                                       # the tasks). Hypothesis was that
+                                       # the state actors' pop/commit
+                                       # work was CPU-starved behind a
+                                       # full complement of parse tasks;
+                                       # a measured A/B on the scale4
+                                       # drain at 16 CPUs REFUTED it
+                                       # (reserve=1: pop 5.3 s, commit
+                                       # 2.1 s, loop 52.7 s vs reserve=0:
+                                       # pop 5.5 s, commit 1.8 s, loop
+                                       # 48.7 s — the blocked time is
+                                       # pipeline-structural, fixed by
+                                       # pipeline_depth=4 + pop prefetch
+                                       # instead). Kept (with the
+                                       # CRAWLER_RAY_STATE_RESERVE env
+                                       # override) as the measurement
+                                       # knob and for clusters where
+                                       # state shards own a core.
     now = PINNED_NOW
 
 
@@ -677,6 +698,20 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                        else frozenset(),
                        "render_actors": render_actors})
     n_cpus = int(ray.cluster_resources().get("CPU", 32))
+    # state-actor CPU headroom (see CrawlConfig.state_cpu_reserve):
+    # implemented by over-requesting num_cpus on the parse tasks so
+    # the raylet schedules at most (n_cpus - reserve) of them
+    # concurrently; the freed core's cycles go to whichever state
+    # actor has queued work. The env knob exists for A/B measurement.
+    env_r = os.environ.get("CRAWLER_RAY_STATE_RESERVE")
+    reserve = float(env_r) if env_r is not None else cfg.state_cpu_reserve
+    if reserve > 0 and n_cpus - reserve >= 2:
+        # largest millicpu value v with floor(n_cpus/v) == slots
+        task_cpu = int(n_cpus / (n_cpus - reserve) * 1000 - 1) / 1000
+        parse_task = _parse_task.options(num_cpus=task_cpu)
+        parse_task_idx = _parse_task_idx.options(num_cpus=task_cpu)
+    else:
+        parse_task, parse_task_idx = _parse_task, _parse_task_idx
 
     def _all_ready(refs: list) -> bool:
         return len(ray.wait(list(refs), num_returns=len(refs),
@@ -688,6 +723,27 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
     # politeness/priority selection WHILE the driver blocks in the next
     # iteration's retire_wait, instead of serially after it
     pending_pop: tuple[int, list] | None = None
+
+    def _try_prefetch() -> None:
+        """Issue pop(wave) now if its visibility inputs are provably
+        settled, so the shards compute the politeness/priority
+        selection while the driver blocks in the next iteration's
+        retire_wait. Safe iff every commit with visibility deadline
+        ≤ wave has been applied — an un-retired wave that old, or an
+        unresolved commit ref, vetoes (the normal path handles them).
+        Called from every spot the loop re-enters pop: end of a
+        dispatch iteration, the bubble fast path, and a window reset
+        (where inflight/commits are empty so it always fires)."""
+        nonlocal pending_pop
+        if inflight and inflight[0][0] <= wave - P:
+            return
+        need = [j for j in commits if j <= wave - P]
+        if all(_all_ready(commits[j]) for j in need):
+            for j in need:
+                ray.get(commits.pop(j))
+            pending_pop = (wave, [f.pop_wave_parts.remote(wave)
+                                  for f in frontier_shards])
+
     t_loop0 = time.perf_counter()
     while True:
         # dispatch commits for waves old enough (≥1 iteration of slack
@@ -703,9 +759,11 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         t0 = time.perf_counter()
         if pending_pop is not None and pending_pop[0] == wave:
             pop_refs = pending_pop[1]
+            phase["pop_prefetched_n"] += 1
         else:
             pop_refs = [f.pop_wave_parts.remote(wave)
                         for f in frontier_shards]
+            phase["pop_cold_n"] += 1
         pending_pop = None
         parts = [t for t in ray.get(pop_refs) if t is not None]
         phase["pop"] += time.perf_counter() - t0
@@ -719,12 +777,14 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             # the frontier counts below are exact.
             if last_nonempty > wave - P:
                 wave += 1
+                _try_prefetch()
                 continue
             assert not inflight and not commits
             szs = ray.get([f.sizes.remote() for f in frontier_shards])
             if sum(s["active"] for s in szs):
                 window += 1
                 ray.get([f.reset_window.remote() for f in frontier_shards])
+                _try_prefetch()
                 continue
             break
         last_nonempty = wave
@@ -815,7 +875,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                     for b, start in enumerate(
                             range(0, c_stop - c_start, batch)):
                         stop = min(start + batch, c_stop - c_start)
-                        refs.append(_parse_task_idx.remote(
+                        refs.append(parse_task_idx.remote(
                             popped_ref, c_start + start, c_start + stop,
                             corpus_refs[s], idx_ref, start, stop,
                             os.path.join(
@@ -828,7 +888,7 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                 for b, start in enumerate(
                         range(0, c_stop - c_start, batch)):
                     stop = min(start + batch, c_stop - c_start)
-                    refs.append(_parse_task.remote(
+                    refs.append(parse_task.remote(
                         fetched_ref, start, stop,
                         os.path.join(tmp_wave,
                                      f"part-{s:05d}-{c:05d}-{b:05d}.parquet"),
@@ -872,17 +932,18 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         # commit instead of compressing it into the next commit_wait
         while inflight and _all_ready(inflight[0][1]):
             retire_one()
-        # pop prefetch for the next iteration (see declaration above):
-        # safe iff every commit with visibility deadline ≤ next wave is
-        # provably applied — un-retired older waves or unresolved
-        # commit refs veto the prefetch (the normal path handles them)
-        if not (inflight and inflight[0][0] <= wave - P):
-            need = [j for j in commits if j <= wave - P]
-            if all(_all_ready(commits[j]) for j in need):
-                for j in need:
-                    ray.get(commits.pop(j))
-                pending_pop = (wave, [f.pop_wave_parts.remote(wave)
-                                      for f in frontier_shards])
+        # pop prefetch for the next iteration (see _try_prefetch).
+        # Structural note: at P=3 the oldest inflight wave is exactly
+        # wave−P here in steady state, so the veto fires on most
+        # dispatch iterations (pop(w+1) truly depends on commit(w−2),
+        # whose tasks finish only at the next loop-top retire) —
+        # pop + commit_wait (~7-12 s per scale4 drain, constant across
+        # CPU levels) are the engine's remaining serial head. Raising
+        # P to 4 to buy overlap was measured WORSE (interleaved A/B at
+        # 16 CPUs: 56.4/79.2 s vs 48.1/60.5 s at P=3): the deeper
+        # visibility lag defers the 404-discovery tail into more,
+        # smaller waves. The property suite oracle-checks P ∈ 1..4.
+        _try_prefetch()
 
     phase["loop_total"] = time.perf_counter() - t_loop0
     t0 = time.perf_counter()
