@@ -181,6 +181,7 @@ def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
            "urls_fetched": s["urls_fetched"],
            "urls_per_sec": round(s["urls_fetched"] / wall, 1),
            "setup_s": s.get("setup_s"), "loop_s": s.get("loop_s"),
+           "first_pop_s": s.get("first_pop_s"),
            "waves": s["waves"], "windows": s["windows"]}
     if s.get("epoch_log"):
         out["epoch_log"] = s["epoch_log"]
@@ -386,6 +387,7 @@ def main() -> None:
         lo_cpus, hi_cpus = (int(x) for x in args.levels.split(","))
         trial_secs = {lo_cpus: [], hi_cpus: []}
         loop_secs = {lo_cpus: [], hi_cpus: []}
+        drain_secs = {lo_cpus: [], hi_cpus: []}
         urls = None
         bare_rates = {lo_cpus: [], hi_cpus: []}
         for t in range(args.trials):
@@ -406,6 +408,13 @@ def main() -> None:
                 trial_secs[cpus].append(r["crawl"]["sec"])
                 loop_secs[cpus].append(r["crawl"].get("loop_s")
                                        or r["crawl"]["sec"])
+                # steady drain = loop minus the measured one-time
+                # actor-cold-start + checkpoint-restore barrier (the
+                # first pop's blocked wait — per-node-parallel on a
+                # real cluster, a near-constant startup tax on one box)
+                drain_secs[cpus].append(
+                    loop_secs[cpus][-1]
+                    - (r["crawl"].get("first_pop_s") or 0.0))
                 urls = r["crawl"]["urls_fetched"]
                 if args.normalized:
                     # control runs AFTER the engine trial (still
@@ -424,6 +433,8 @@ def main() -> None:
         # levels on one box but per-node-parallel on a real cluster
         lmed = {c: sorted(s)[len(s) // 2] for c, s in loop_secs.items()}
         loop_eff = (lmed[lo_cpus] / lmed[hi_cpus]) / (hi_cpus / lo_cpus)
+        dmed = {c: sorted(s)[len(s) // 2] for c, s in drain_secs.items()}
+        drain_eff = (dmed[lo_cpus] / dmed[hi_cpus]) / (hi_cpus / lo_cpus)
         hw = _hw_ceiling_control((lo_cpus, hi_cpus), args.scale_tier) or {}
         ceiling = hw.get("hw_ceiling")
         norm = {}
@@ -463,6 +474,14 @@ def main() -> None:
             f"trial_secs_{lo_cpus}": trial_secs[lo_cpus],
             f"trial_secs_{hi_cpus}": trial_secs[hi_cpus],
             "loop_only_efficiency": round(loop_eff, 3),
+            # barrier-excluded steady drain (loop minus the per-trial
+            # MEASURED first-pop wait = actor cold start + checkpoint
+            # restore; per-node-parallel on a real cluster)
+            "drain_only_efficiency": round(drain_eff, 3),
+            f"drain_secs_{lo_cpus}": [round(x, 3)
+                                      for x in drain_secs[lo_cpus]],
+            f"drain_secs_{hi_cpus}": [round(x, 3)
+                                      for x in drain_secs[hi_cpus]],
             f"loop_secs_{lo_cpus}": loop_secs[lo_cpus],
             f"loop_secs_{hi_cpus}": loop_secs[hi_cpus],
             "urls_fetched": urls,

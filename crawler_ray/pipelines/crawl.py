@@ -760,13 +760,31 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         if pending_pop is not None and pending_pop[0] == wave:
             pop_refs = pending_pop[1]
             phase["pop_prefetched_n"] += 1
+            pre = True
         else:
             pop_refs = [f.pop_wave_parts.remote(wave)
                         for f in frontier_shards]
             phase["pop_cold_n"] += 1
+            pre = False
         pending_pop = None
         parts = [t for t in ray.get(pop_refs) if t is not None]
-        phase["pop"] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        phase["pop"] += dt
+        if "first_pop_s" not in phase:
+            # The run's first pop FIFO-queues behind every shard's
+            # actor cold start (worker spawn + imports, core-bound)
+            # and checkpoint restore, so its wait IS the one-time
+            # restore/startup barrier (measured 4.7 s at 16 CPUs vs
+            # 7.6 s at 4 on the scale4 drain, while every steady-state
+            # pop waits <0.1 s thanks to the prefetch). Exposed in the
+            # summary so the scaling bench can report a drain-only
+            # number with the barrier excluded — on a real cluster the
+            # barrier is per-node-parallel, not a scaling cost.
+            phase["first_pop_s"] = dt
+        if _timing and dt > 0.05:
+            print(f"POPWAIT wave={wave} prefetched={pre} "
+                  f"wait={dt:.3f} nonempty={bool(parts)}",
+                  file=__import__('sys').stderr)
         if not parts:
             # Bubble rule (oracle rule 9): if any wave in (wave−P, wave)
             # popped rows, its discoveries may still be staged — advance
@@ -968,6 +986,10 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         # cluster); loop_s is the drain itself
         "setup_s": round(phase["setup_total"], 3),
         "loop_s": round(phase["loop_total"], 3),
+        # the first pop's blocked wait = actor cold start + checkpoint
+        # restore + first selection (see the first_pop_s comment in
+        # the loop); loop_s - first_pop_s is the steady drain
+        "first_pop_s": round(phase.get("first_pop_s", 0.0), 3),
         "urls_fetched": pop_rank,
         "seen_size": sum(s["size"] for s in seen_stats),
         "robots_excluded": sum(s["robots_excluded"] for s in seen_stats),
