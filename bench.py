@@ -17,11 +17,15 @@ CPUs — a mid-crawl state bootstrapped once via
 ``run_crawl(seed_only=True)`` and restored from its epoch-0
 checkpoint) is crawled to empty under politeness windows. Levels are
 INTERLEAVED across trials so box drift cancels out of the ratio.
-Reports median throughputs + efficiency, plus a secondary
-``loop_only_efficiency`` that excludes the one-time disk-bound
-restore barrier. The measurable ceiling on this box varies with its
-load phase (scripts/hw_ceiling.py: shared memory bus — 0.63-0.88
-across sessions on the 4→16 pair); results land in BASELINE.md.
+Reports median throughputs + efficiency at three tiers: raw wall,
+``loop_only_efficiency`` (excludes pre-loop setup), and
+``drain_only_efficiency`` (additionally excludes the per-trial
+MEASURED first-pop barrier = actor cold start + checkpoint restore,
+which is per-node-parallel on a real cluster — see
+``run_crawl``'s ``first_pop_s``). The measurable ceiling on this box
+varies with its load phase (scripts/hw_ceiling.py: shared memory
+bus — 0.63-0.88 across sessions on the 4→16 pair); results land in
+BASELINE.md.
 
 ``--crawl-only --cpus N --tier scale``: single timed crawl (used by
 --scaling's subprocesses).
