@@ -26,6 +26,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# The driver owns the Ray session but can't know about Ray Data's
+# benign "RefBundle … new schema: ." lines (schema-less empty blocks
+# that all-to-all operators forward past every UDF — see
+# crawler_ray.suppress_empty_schema_divergence_warning). This module
+# IS the driver-facing adapter, so it installs the same narrowly
+# scoped filter bench.py and the test fixture install; genuinely
+# divergent typed schemas still log loudly.
+import crawler_ray as _crawler_ray
+
+_crawler_ray.suppress_empty_schema_divergence_warning()
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 

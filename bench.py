@@ -368,6 +368,16 @@ def main() -> None:
                          "across hours and ASYMMETRICALLY across core "
                          "counts, so one end-of-session control cannot "
                          "normalize individual trials")
+    ap.add_argument("--warm-fixture", action="store_true",
+                    help="before --scaling trial 0, stream every byte "
+                         "of the drain fixture through the OS page "
+                         "cache (plain sequential reads, no Ray). "
+                         "Removes the one-time cold-disk read tax that "
+                         "hits the two CPU levels asymmetrically "
+                         "(session 9: trial-0 pair efficiency 0.604 vs "
+                         "0.82 warm) — on a real cluster the input "
+                         "lives in distributed storage that both "
+                         "cluster sizes read identically")
     ap.add_argument("--trial-gap", type=float, default=0.0,
                     help="seconds of cool-down between --scaling trial "
                          "processes (sustained back-to-back load degrades "
@@ -389,6 +399,17 @@ def main() -> None:
         #    they never could on a real 8-core node.
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         lo_cpus, hi_cpus = (int(x) for x in args.levels.split(","))
+        if args.warm_fixture:
+            fix = os.path.join(BENCH_ROOT, args.scale_tier)
+            warmed = 0
+            for root, _dirs, files in os.walk(fix):
+                for f in files:
+                    with open(os.path.join(root, f), "rb") as fh:
+                        while fh.read(16 << 20):
+                            pass
+                        warmed += fh.tell()
+            print(f"warmed {warmed / 1e9:.1f} GB of {fix} into page "
+                  f"cache", file=sys.stderr)
         trial_secs = {lo_cpus: [], hi_cpus: []}
         loop_secs = {lo_cpus: [], hi_cpus: []}
         drain_secs = {lo_cpus: [], hi_cpus: []}
@@ -489,6 +510,7 @@ def main() -> None:
             f"loop_secs_{lo_cpus}": loop_secs[lo_cpus],
             f"loop_secs_{hi_cpus}": loop_secs[hi_cpus],
             "urls_fetched": urls,
+            "warm_fixture": bool(args.warm_fixture),
             # same-session bare-workload control (memory-bus ceiling)
             **hw,
             "engine_share_of_ceiling": (round(eff / ceiling, 3)
