@@ -744,8 +744,25 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
             pending_pop = (wave, [f.pop_wave_parts.remote(wave)
                                   for f in frontier_shards])
 
+    # per-iteration outlier tracker (CRAWLER_RAY_PHASE_TIMING only):
+    # phase[] sums hide WHICH wave a stall hit; rare single-wave
+    # stragglers (one slow 16-CPU leg in an otherwise clean session)
+    # need the per-iteration wall + phase-delta to localize
+    _iter_keys = ("retire_wait", "commit_wait", "pop", "rank_merge",
+                  "shard_put", "dispatch", "load_wait")
+    iter_log: list = []                # (wall_s, wave_id, phase deltas)
+    _iter_prev = None                  # (t_start, wave_id, counter snapshot)
+
     t_loop0 = time.perf_counter()
     while True:
+        if _timing:
+            _t_now = time.perf_counter()
+            if _iter_prev is not None:
+                _t_st, _w_id, _snap = _iter_prev
+                iter_log.append((_t_now - _t_st, _w_id,
+                                 {k: phase[k] - _snap[k]
+                                  for k in _iter_keys}))
+            _iter_prev = (_t_now, wave, {k: phase[k] for k in _iter_keys})
         # dispatch commits for waves old enough (≥1 iteration of slack
         # before their visibility deadline at pop(j+P))
         while inflight and inflight[0][0] <= wave - min(P, 2):
@@ -964,6 +981,11 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         _try_prefetch()
 
     phase["loop_total"] = time.perf_counter() - t_loop0
+    if _timing and _iter_prev is not None:  # close the final iteration
+        _t_st, _w_id, _snap = _iter_prev
+        iter_log.append((time.perf_counter() - _t_st, _w_id,
+                         {k: phase[k] - _snap[k] for k in _iter_keys}))
+        _iter_prev = None
     t0 = time.perf_counter()
     _checkpoint(out_dir, wave, window, pop_rank, frontier_shards, seen_shards)
     phase["final_checkpoint"] = time.perf_counter() - t0
@@ -974,6 +996,15 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
         print("PHASE_TIMING "
               + json.dumps({k: round(v, 3) for k, v in sorted(phase.items())}),
               file=_sys.stderr)
+        if iter_log:
+            worst = sorted(iter_log, key=lambda r: r[0], reverse=True)[:5]
+            med = sorted(r[0] for r in iter_log)[len(iter_log) // 2]
+            print("WAVE_OUTLIERS median_iter_s="
+                  + f"{med:.3f} " + json.dumps([
+                      {"wall_s": round(w, 3), "wave": wid,
+                       **{k: round(v, 3) for k, v in d.items()
+                          if v > 0.005}}
+                      for w, wid, d in worst]), file=_sys.stderr)
     seen_stats = ray.get([s.stats.remote() for s in seen_shards])
     frontier_stats = ray.get([f.stats.remote() for f in frontier_shards])
     summary = {
