@@ -425,10 +425,22 @@ def main() -> None:
                      "--crawl-only", "--cpus", str(cpus),
                      "--tier", args.scale_tier, "--trials", "1"],
                     capture_output=True, text=True, timeout=3600,
-                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    env={**os.environ, "CRAWLER_RAY_PHASE_TIMING": "1"})
                 if p.returncode != 0:
                     print(p.stdout, p.stderr[-4000:], file=sys.stderr)
                     sys.exit(1)
+                # persist the trial's phase/outlier lines: when one
+                # leg of a session runs anomalously slow (s10 trial 2:
+                # 58.2 s vs 46.6/47.0 in a clean box phase), these are
+                # the only evidence that localizes WHICH wave stalled
+                # and in which driver phase
+                with open(f"/tmp/scaling_trial_{cpus}c_t{t}.err",
+                          "w") as fh:
+                    fh.write("\n".join(
+                        ln for ln in p.stderr.splitlines()
+                        if ln.startswith(("PHASE_TIMING",
+                                          "WAVE_OUTLIERS", "POPWAIT"))))
                 r = json.loads(p.stdout.strip().splitlines()[-1])
                 trial_secs[cpus].append(r["crawl"]["sec"])
                 loop_secs[cpus].append(r["crawl"].get("loop_s")
