@@ -161,3 +161,30 @@ def test_indices_fetch_mode_equals_rows(ray_session, fixture_t0, oracle_t0,
     assert len(log) == len(olog)
     assert (log["url"].values == olog["url"].values).all()
     assert set(log["url"]) == oracle_t0.seen
+
+
+def test_phase_timing_emits_wave_outliers(ray_session, fixture_t0,
+                                          tmp_path_factory, capfd,
+                                          monkeypatch):
+    """CRAWLER_RAY_PHASE_TIMING must emit the PHASE_TIMING summary and
+    the per-iteration WAVE_OUTLIERS lines (diagnostic surface the
+    scaling bench persists per trial) without changing crawl output."""
+    import json as _json
+
+    from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    monkeypatch.setenv("CRAWLER_RAY_PHASE_TIMING", "1")
+    out = str(tmp_path_factory.mktemp("crawl_pt") / "out")
+    summary = run_crawl(f"{fixture_t0}/pages.parquet",
+                        f"{fixture_t0}/seeds.parquet",
+                        f"{fixture_t0}/robots.parquet", out,
+                        CrawlConfig(n_frontier_shards=2, n_seen_shards=2,
+                                    n_page_shards=2))
+    err = capfd.readouterr().err
+    assert "PHASE_TIMING " in err
+    outlier_lines = [ln for ln in err.splitlines()
+                     if ln.startswith("WAVE_OUTLIERS ")]
+    assert outlier_lines, "no WAVE_OUTLIERS line emitted"
+    worst = _json.loads(outlier_lines[-1].split(" ", 2)[2])
+    assert worst and all("wall_s" in w and "wave" in w for w in worst)
+    # the tracker is observability only: the crawl itself is unchanged
+    assert summary["urls_fetched"] > 0
