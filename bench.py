@@ -344,9 +344,9 @@ def main() -> None:
                          "visible epoch over epoch")
     ap.add_argument("--skew", action="store_true",
                     help="skew exhibit: equal-volume drain A/B (one "
-                         "host owns 50% of pages + one dup cluster "
-                         "owns 10% of docs, vs perfectly uniform) and "
-                         "a dedup A/B (10% one-cluster vs scattered "
+                         "host owns 50%% of pages + one dup cluster "
+                         "owns 10%% of docs, vs perfectly uniform) and "
+                         "a dedup A/B (10%% one-cluster vs scattered "
                          "pairs); reports wall-time inflation ratios "
                          "against the <1.5x bar")
     ap.add_argument("--crawl-only", action="store_true")
