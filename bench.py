@@ -146,6 +146,51 @@ def _ensure_fixture(tier: str, n_shards: int = N_SHARDS) -> str:
     return fix
 
 
+def _start_util_sampler():
+    """CRAWLER_RAY_UTIL_SAMPLE=1: sample parse-task slot occupancy
+    (total CPU − ray.available_resources()['CPU']) every ~50 ms on a
+    daemon thread for the duration of one crawl. State actors reserve
+    0 running CPUs, so the series is exactly "how many parse/fetch
+    task slots are busy" over time — a sawtooth localizes pipeline
+    bubbles (window resets, checkpoint drains, wave-tail straggle),
+    while a flat-full series with low task-CPU utilization indicts
+    physical-core contention from actors/raylet instead. Dumped as
+    one UTIL_SAMPLE stderr JSON line: [t_rel_s, busy_slots] pairs."""
+    if os.environ.get("CRAWLER_RAY_UTIL_SAMPLE") != "1":
+        return None
+    import threading
+    import ray
+    total = ray.cluster_resources().get("CPU", 0)
+    samples: list = []
+    stop = threading.Event()
+
+    def loop():
+        t0 = time.perf_counter()
+        while not stop.is_set():
+            try:
+                # fully-consumed resources are OMITTED from the dict,
+                # so a missing "CPU" key means 0 available, not total
+                avail = ray.available_resources().get("CPU", 0.0)
+            except Exception:
+                avail = total
+            samples.append((round(time.perf_counter() - t0, 3),
+                            round(total - avail, 2)))
+            stop.wait(0.05)
+
+    th = threading.Thread(target=loop, daemon=True)
+    th.start()
+    return (stop, th, samples)
+
+
+def _stop_util_sampler(sampler) -> None:
+    if sampler is None:
+        return
+    stop, th, samples = sampler
+    stop.set()
+    th.join(timeout=2.0)
+    print("UTIL_SAMPLE " + json.dumps(samples), file=sys.stderr)
+
+
 def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
            n_shards: int = N_SHARDS) -> dict:
     from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
@@ -163,6 +208,7 @@ def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
                       **tier_cfg)
     pages = os.path.join(fix, f"sharded_{n_shards}")
     robots = os.path.join(fix, "robots.parquet")
+    sampler = _start_util_sampler()
     if wide_seeds:
         # drain bench: time the crawl from a seeded epoch-0 checkpoint
         # (seed ingest is one-time state prep, identical at every
@@ -181,6 +227,7 @@ def _crawl(tier: str, out_tag: str, wide_seeds: bool = False,
         s = run_crawl(pages, os.path.join(fix, "seeds.parquet"),
                       robots, out, cfg)
     wall = time.time() - t0
+    _stop_util_sampler(sampler)
     out = {"tier": tier, "sec": round(wall, 2),
            "urls_fetched": s["urls_fetched"],
            "urls_per_sec": round(s["urls_fetched"] / wall, 1),

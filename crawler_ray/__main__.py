@@ -45,8 +45,8 @@ def main(argv=None) -> int:
     pc.add_argument("--politeness-cap", type=int, default=10_000)
     pc.add_argument("--checkpoint-every", type=int, default=0)
     pc.add_argument("--max-depth", type=int, default=None)
-    pc.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
-                    default="bloom")
+    pc.add_argument("--seen-filter", choices=["sig", "bloom", "cuckoo"],
+                    default="sig")
 
     pr = sub.add_parser("resume", help="resume from the latest checkpoint")
     for a in ("--pages", "--robots", "--out"):
@@ -90,7 +90,7 @@ def main(argv=None) -> int:
                 politeness_cap=args.politeness_cap,
                 checkpoint_every=args.checkpoint_every,
                 max_depth=getattr(args, "max_depth", None),
-                seen_filter=getattr(args, "seen_filter", "bloom"))
+                seen_filter=getattr(args, "seen_filter", "sig"))
             summary = run_crawl(args.pages,
                                 getattr(args, "seeds", ""), args.robots,
                                 args.out, cfg,

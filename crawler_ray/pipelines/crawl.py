@@ -97,10 +97,15 @@ class CrawlConfig:
                                        # driver keeps up to P-1 fetch+parse
                                        # waves in flight (data-driven
                                        # visibility keeps this deterministic)
-    seen_filter: str = "bloom"         # probabilistic prefilter on the seen
-                                       # shards: "bloom" | "cuckoo" (cuckoo
+    seen_filter: str = "sig"           # seen-shard membership structure:
+                                       # "sig" (exact signature table, one
+                                       # gather per probe — default) |
+                                       # "bloom" | "cuckoo" (probabilistic
+                                       # prefilters over the sorted exact
+                                       # array; ~20x less memory per key,
+                                       # 6-11x slower probes; cuckoo
                                        # supports deletion for re-queue
-                                       # policies; same exact-confirm path)
+                                       # policies)
     parse_batch: int = 512             # rows per stateless parse task — the
                                        # work-unit Ray load-balances across
                                        # the cluster (bounds stragglers)
@@ -1007,6 +1012,18 @@ def run_crawl(pages_path: str, seeds_path: str, robots_path: str,
                       for w, wid, d in worst]), file=_sys.stderr)
     seen_stats = ray.get([s.stats.remote() for s in seen_shards])
     frontier_stats = ray.get([f.stats.remote() for f in frontier_shards])
+    if _timing and seen_stats and "commit_s" in seen_stats[0]:
+        # where the seen-shard commit CPU goes (sum + max over shards;
+        # the MAX shard bounds the commit_wait the driver can see at a
+        # window boundary, since shards run in parallel)
+        import sys as _sys
+        stages = seen_stats[0]["commit_s"]
+        agg = {k: round(sum(s["commit_s"][k] for s in seen_stats), 3)
+               for k in stages}
+        mx = {k: round(max(s["commit_s"][k] for s in seen_stats), 3)
+              for k in stages}
+        print("SEEN_COMMIT sum=" + json.dumps(agg)
+              + " max_shard=" + json.dumps(mx), file=_sys.stderr)
     summary = {
         "out_dir": out_dir,
         "waves": wave,

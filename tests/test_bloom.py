@@ -72,3 +72,45 @@ def test_seen_shard_with_cuckoo(ray_session):
     assert ray.get(s.commit_wave.remote()) == 1
     ray.get(s.offer.remote(pack(t)))
     assert ray.get(s.commit_wave.remote()) == 0     # dup via cuckoo+exact
+
+
+# ---- signature table (exact membership, the seen-shard default) ---------
+
+def test_sigtable_exact_membership():
+    from crawler_ray.state.sigtable import SigTable
+    rng = np.random.default_rng(11)
+    keys = rng.integers(1, 2 ** 63, 20_000, dtype=np.uint64)
+    st = SigTable(1000)                      # force several growths
+    st.add(keys)
+    assert st.contains(keys).all()           # no false negatives
+    miss = rng.integers(2 ** 63, 2 ** 64 - 1, 50_000, dtype=np.uint64)
+    assert not st.contains(miss).any()       # EXACT: zero false positives
+
+
+def test_sigtable_incremental_and_duplicates():
+    from crawler_ray.state.sigtable import SigTable
+    rng = np.random.default_rng(5)
+    st = SigTable(4096)
+    seen = []
+    for _ in range(20):
+        batch = rng.integers(1, 2 ** 62, 500, dtype=np.uint64)
+        st.add(batch)
+        st.add(batch)                        # duplicate adds are no-ops
+        seen.append(batch)
+        allk = np.concatenate(seen)
+        assert st.contains(allk).all()
+    probe = rng.integers(2 ** 62, 2 ** 63, 10_000, dtype=np.uint64)
+    truth = np.isin(probe, np.concatenate(seen))
+    assert (st.contains(probe) == truth).all()
+
+
+def test_sigtable_zero_key():
+    # key 0 collides with the empty-slot sentinel: must be routed to
+    # the overflow and never silently dropped (a lost seen-hash means
+    # the crawl re-admits the url every wave, forever)
+    from crawler_ray.state.sigtable import SigTable
+    st = SigTable(64)
+    assert not st.contains(np.array([0], dtype=np.uint64)).any()
+    st.add(np.array([0, 7], dtype=np.uint64))
+    assert st.contains(np.array([0, 7], dtype=np.uint64)).all()
+    assert not st.contains(np.array([8], dtype=np.uint64)).any()
