@@ -446,6 +446,15 @@ def main() -> None:
         #    they never could on a real 8-core node.
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         lo_cpus, hi_cpus = (int(x) for x in args.levels.split(","))
+        # pre-build the drain fixture + BOTH CPU levels' shard layouts
+        # here, unpinned (the wrapper owns the whole box): on a fresh
+        # /tmp the build would otherwise happen inside pinned trial 0
+        # — after --warm-fixture walked an empty directory — so trial
+        # 0 would run cold-disk at the SMALL level, exactly the
+        # asymmetric tax the warm flag exists to remove. Idempotent
+        # (_DONE / meta.json markers), so trial subprocesses skip it.
+        for _c in (lo_cpus, hi_cpus):
+            _ensure_fixture(args.scale_tier, _n_shards(_c))
         if args.warm_fixture:
             fix = os.path.join(BENCH_ROOT, args.scale_tier)
             warmed = 0
